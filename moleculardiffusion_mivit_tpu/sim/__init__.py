@@ -1,0 +1,15 @@
+from moleculardiffusion_mivit_tpu.sim.trajectory import (  # noqa: F401
+    brownian_motion,
+    average_trajectories_frames,
+    fractional_gaussian_noise,
+    fbm_trajectories,
+    single_state,
+)
+from moleculardiffusion_mivit_tpu.sim.render import (  # noqa: F401
+    render_frames_core,
+    trajectories_to_video,
+    trajectories_to_video_multiple_settings,
+    trajectories_to_video_psf_noise_grid,
+    normalize_images,
+    generate_traj_and_videos_brownian,
+)

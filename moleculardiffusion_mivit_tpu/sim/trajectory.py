@@ -1,0 +1,215 @@
+"""On-device trajectory simulators.
+
+TPU-native replacements for the reference's host-side generators:
+
+- ``brownian_motion``: the in-repo Gaussian random walk
+  (reference helpers/helpersGeneration.py:9-45).
+- ``single_state``: the ``andi_datasets.models_phenom().single_state`` call
+  used by every training script (e.g. tests/train_tests/trainModels.py:117-121)
+  — per-particle D drawn from a truncated normal, α-controlled fractional
+  Brownian motion, labels ``(alpha, D, state)``.
+- ``fractional_gaussian_noise``: circulant-embedding (Davies-Harte) fGn,
+  replacing the ``fbm`` / ``stochastic`` pip deps used by the constrained
+  mitochondria simulations
+  (Experiments/mitochondria_simulation/mitochnodria.py:433-475).
+
+Everything is a pure function of a PRNG key with static shapes, so it can be
+jitted and fused directly into the training step (the reference generates on
+host CPU with global numpy RNG and copies to the accelerator every batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def brownian_motion(
+    key: jax.Array,
+    nparticles: int,
+    nframes: int,
+    nposframe: int,
+    D: Union[float, jax.Array],
+    dt: float,
+    start_at_zero: bool = False,
+) -> jax.Array:
+    """Brownian random walk with per-step sigma ``sqrt(2*D*dt/nposframe)``.
+
+    Mirrors helpers/helpersGeneration.py:9-45: steps are iid normal in x/y and
+    positions are the cumulative sum (no origin prepended unless
+    ``start_at_zero``, which zeroes the first step as the reference does).
+
+    ``D`` may be a scalar or a per-particle array of shape ``(nparticles,)``.
+
+    Returns ``(nparticles, nframes*nposframe, 2)`` float32 positions.
+    """
+    num_steps = nframes * nposframe
+    sigma = jnp.sqrt(2.0 * jnp.asarray(D, jnp.float32) * dt / nposframe)
+    sigma = jnp.broadcast_to(sigma, (nparticles,))[:, None, None]
+    steps = jax.random.normal(key, (nparticles, num_steps, 2), jnp.float32) * sigma
+    if start_at_zero:
+        steps = steps.at[:, 0, :].set(0.0)
+    return jnp.cumsum(steps, axis=1)
+
+
+def average_trajectories_frames(trajectories: jax.Array, n_pos_frame: int) -> jax.Array:
+    """Average ``n_pos_frame`` consecutive sub-positions into one per-frame
+    position (camera exposure averaging; helpers/helpersGeneration.py:48-74).
+
+    ``trajectories``: ``(N, T, 2)`` → ``(N, T // n_pos_frame, 2)``.
+    """
+    n, t, d = trajectories.shape
+    n_full = t // n_pos_frame
+    reshaped = trajectories[:, : n_full * n_pos_frame].reshape(n, n_full, n_pos_frame, d)
+    return jnp.mean(reshaped, axis=2)
+
+
+def _truncated_normal_at_zero(key: jax.Array, mean, sigma, shape) -> jax.Array:
+    """Sample N(mean, sigma^2) conditioned on being >= 0.
+
+    Equivalent in distribution to the redraw loop the andi-datasets simulator
+    uses to keep sampled D (and alpha) inside physical bounds. When sigma==0
+    this degenerates to the constant mean.
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    safe_sigma = jnp.where(sigma > 0, sigma, 1.0)
+    lower = -mean / safe_sigma
+    tn = jax.random.truncated_normal(key, lower, jnp.inf, shape, jnp.float32)
+    sampled = mean + safe_sigma * tn
+    return jnp.where(sigma > 0, sampled, jnp.broadcast_to(mean, shape))
+
+
+def fractional_gaussian_noise(
+    key: jax.Array, hurst: Union[float, jax.Array], n: int, batch: int = 1
+) -> jax.Array:
+    """Fractional Gaussian noise via circulant embedding (Davies-Harte).
+
+    Generates ``batch`` independent length-``n`` fGn series with Hurst
+    exponent ``hurst`` (H = alpha/2), unit time step and unit variance,
+    replacing ``fbm.fgn`` (Davies-Harte backend) used by the reference's
+    mitochondria simulation (mitochnodria.py:433-475).
+
+    ``hurst`` may be scalar or shape ``(batch,)``.
+
+    Implementation: the autocovariance of fGn,
+    ``gamma(k) = 0.5*(|k+1|^{2H} - 2|k|^{2H} + |k-1|^{2H})``,
+    is embedded in a circulant matrix of size ``2n``; its eigenvalues are the
+    real FFT of the first row. Complex Gaussian noise shaped by
+    ``sqrt(eigenvalues / (4n))`` and inverse-FFT'd yields exact samples.
+    Eigenvalues are clamped at 0 (they are non-negative for H in (0,1) up to
+    roundoff), matching the standard Davies-Harte validity condition.
+    """
+    hurst = jnp.broadcast_to(jnp.asarray(hurst, jnp.float32), (batch,))
+    m = 2 * n
+
+    k = jnp.arange(n + 1, dtype=jnp.float32)
+    two_h = (2.0 * hurst)[:, None]
+    gamma = 0.5 * (
+        jnp.abs(k + 1.0) ** two_h - 2.0 * jnp.abs(k) ** two_h + jnp.abs(k - 1.0) ** two_h
+    )  # (batch, n+1)
+    # First row of the circulant embedding: [g0..gn, g_{n-1}..g1]
+    row = jnp.concatenate([gamma, gamma[:, 1:-1][:, ::-1]], axis=1)  # (batch, 2n)
+    eig = jnp.fft.fft(row, axis=1).real
+    eig = jnp.maximum(eig, 0.0)
+
+    kr, ki = jax.random.split(key)
+    zr = jax.random.normal(kr, (batch, m), jnp.float32)
+    zi = jax.random.normal(ki, (batch, m), jnp.float32)
+    z = zr + 1j * zi
+    # Re(F diag(sqrt(λ/m)) ξ) with ξ complex standard normal has covariance
+    # exactly the circulant embedding (the real part halves the 2λ/m factor).
+    coeff = jnp.sqrt(eig / m).astype(jnp.complex64)
+    samples = jnp.fft.fft(coeff * z, axis=1)[:, :n].real
+    return samples
+
+
+def fbm_trajectories(
+    key: jax.Array,
+    nparticles: int,
+    num_steps: int,
+    alpha: Union[float, jax.Array],
+    D: Union[float, jax.Array],
+    dt: float = 1.0,
+) -> jax.Array:
+    """2-D fractional Brownian motion with per-step displacement scale
+    ``sqrt(2*D*dt)`` (andi-datasets ``disp_fbm`` convention: displacements are
+    fGn with std ``sqrt(2*D*dt)`` at every alpha).
+
+    Returns ``(nparticles, num_steps, 2)`` positions starting at the first
+    displacement (cumulative sum, no prepended origin — matching the
+    reference's in-repo generator convention).
+    """
+    alpha = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), (nparticles,))
+    D = jnp.broadcast_to(jnp.asarray(D, jnp.float32), (nparticles,))
+    hurst = alpha / 2.0
+    kx, ky = jax.random.split(key)
+    disp_x = fractional_gaussian_noise(kx, hurst, num_steps, nparticles)
+    disp_y = fractional_gaussian_noise(ky, hurst, num_steps, nparticles)
+    scale = jnp.sqrt(2.0 * D * dt)[:, None]
+    disp = jnp.stack([disp_x * scale, disp_y * scale], axis=-1)
+    return jnp.cumsum(disp, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "t", "pure_brownian"))
+def _single_state_impl(key, n, t, d_mean, d_sigma, a_mean, a_sigma, pure_brownian):
+    kd, ka, kt = jax.random.split(key, 3)
+    ds = _truncated_normal_at_zero(kd, d_mean, d_sigma, (n,))
+    alphas = jnp.clip(_truncated_normal_at_zero(ka, a_mean, a_sigma, (n,)), 0.0, 2.0)
+    if pure_brownian:
+        sigma = jnp.sqrt(2.0 * ds)[:, None, None]
+        steps = jax.random.normal(kt, (n, t, 2), jnp.float32) * sigma
+        trajs = jnp.cumsum(steps, axis=1)
+    else:
+        trajs = fbm_trajectories(kt, n, t, alphas, ds)
+    labels = jnp.stack(
+        [
+            jnp.broadcast_to(alphas[:, None], (n, t)),
+            jnp.broadcast_to(ds[:, None], (n, t)),
+            jnp.zeros((n, t), jnp.float32),  # state 0 = free diffusion
+        ],
+        axis=-1,
+    )
+    return trajs, labels
+
+
+def single_state(
+    key: jax.Array,
+    N: int,
+    T: int,
+    Ds: Union[float, Tuple[float, float]],
+    alphas: Union[float, Tuple[float, float]] = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """TPU-native equivalent of ``models_phenom().single_state``.
+
+    Per-particle diffusion coefficient D ~ N(mean, sigma) truncated at 0 when
+    ``Ds=(mean, sigma)`` (scalar → constant); same for ``alphas`` (clipped to
+    [0, 2]). ``alphas == 1`` takes a pure-Brownian fast path (iid normal
+    steps); otherwise displacements are fGn with Hurst α/2. Labels are
+    ``(alpha, D, state)`` per timestep, as the andi simulator returns
+    (see tests/Simulator_tests/AnDi-Tests.ipynb cell 2 in the reference).
+
+    Returns ``trajs (N, T, 2)``, ``labels (N, T, 3)`` — note: already in the
+    particle-major layout the reference obtains by transposing
+    (trainModels.py:123-124).
+    """
+    d_mean, d_sigma = (Ds, 0.0) if jnp.ndim(Ds) == 0 and not isinstance(Ds, (tuple, list)) else (Ds[0], Ds[1])
+    a_mean, a_sigma = (
+        (alphas, 0.0)
+        if jnp.ndim(alphas) == 0 and not isinstance(alphas, (tuple, list))
+        else (alphas[0], alphas[1])
+    )
+    pure_brownian = float(a_mean) == 1.0 and float(a_sigma) == 0.0
+    return _single_state_impl(
+        key,
+        N,
+        T,
+        jnp.float32(d_mean),
+        jnp.float32(d_sigma),
+        jnp.float32(a_mean),
+        jnp.float32(a_sigma),
+        pure_brownian,
+    )

@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculardiffusion_mivit_tpu.sim import (
+    average_trajectories_frames,
+    brownian_motion,
+    fbm_trajectories,
+    fractional_gaussian_noise,
+    single_state,
+)
+
+
+def test_brownian_shapes_and_step_scale():
+    key = jax.random.key(0)
+    D, dt, npos = 2.0, 1.0, 10
+    traj = brownian_motion(key, 200, 30, npos, D, dt)
+    assert traj.shape == (200, 300, 2)
+    steps = np.diff(np.asarray(traj), axis=1)
+    expected_sigma = np.sqrt(2 * D * dt / npos)
+    assert abs(steps.std() - expected_sigma) / expected_sigma < 0.02
+
+
+def test_brownian_per_particle_D():
+    key = jax.random.key(1)
+    Ds = jnp.array([1.0, 9.0])
+    traj = brownian_motion(key, 2, 50, 10, Ds, 1.0)
+    steps = np.diff(np.asarray(traj), axis=1)
+    s0, s1 = steps[0].std(), steps[1].std()
+    assert abs(s1 / s0 - 3.0) < 0.25  # sigma ratio = sqrt(9/1)
+
+
+def test_average_trajectories_frames():
+    trajs = jnp.arange(2 * 12 * 2, dtype=jnp.float32).reshape(2, 12, 2)
+    avg = average_trajectories_frames(trajs, 4)
+    assert avg.shape == (2, 3, 2)
+    expected = np.asarray(trajs).reshape(2, 3, 4, 2).mean(axis=2)
+    np.testing.assert_allclose(np.asarray(avg), expected, rtol=1e-6)
+
+
+def test_single_state_labels_and_truncation():
+    key = jax.random.key(2)
+    trajs, labels = single_state(key, 4000, 50, Ds=(1.0, 1.0), alphas=1)
+    assert trajs.shape == (4000, 50, 2)
+    assert labels.shape == (4000, 50, 3)
+    d = np.asarray(labels[:, 0, 1])
+    assert d.min() >= 0.0  # truncated at zero like the andi redraw loop
+    # Truncated-normal mean for mean=sigma=1: 1 + phi(-1)/(1-Phi(-1)) ≈ 1.288
+    assert abs(d.mean() - 1.288) < 0.05
+    np.testing.assert_allclose(np.asarray(labels[:, :, 0]), 1.0)  # alpha
+    # labels constant along time
+    np.testing.assert_allclose(np.asarray(labels[:, 0, 1]), np.asarray(labels[:, -1, 1]))
+
+
+def test_single_state_loop_closure_msd():
+    """AnDi-Tests.ipynb-style check: D re-estimated from MSD(tau=1) of the
+    generated trajectory matches the label."""
+    key = jax.random.key(3)
+    trajs, labels = single_state(key, 500, 300, Ds=(5.0, 0.0), alphas=1)
+    steps = np.diff(np.asarray(trajs), axis=1)
+    msd1 = (steps**2).sum(-1).mean()
+    d_est = msd1 / 4.0  # MSD(tau) = 4 D tau, dt=1
+    assert abs(d_est - 5.0) / 5.0 < 0.03
+
+
+def test_fgn_white_noise_case():
+    key = jax.random.key(4)
+    x = np.asarray(fractional_gaussian_noise(key, 0.5, 2048, batch=64))
+    assert x.shape == (64, 2048)
+    assert abs(x.var() - 1.0) < 0.05
+    lag1 = np.mean(x[:, :-1] * x[:, 1:])
+    assert abs(lag1) < 0.05  # H=0.5 → uncorrelated
+
+
+def test_fgn_correlated_case():
+    key = jax.random.key(5)
+    h = 0.75
+    x = np.asarray(fractional_gaussian_noise(key, h, 4096, batch=64))
+    assert abs(x.var() - 1.0) < 0.05
+    lag1 = np.mean(x[:, :-1] * x[:, 1:]) / x.var()
+    expected = 2 ** (2 * h - 1) - 1  # gamma(1) for unit-variance fGn
+    assert abs(lag1 - expected) < 0.05
+
+
+def test_fbm_subdiffusive_msd_exponent():
+    key = jax.random.key(6)
+    alpha = 0.6
+    trajs = np.asarray(fbm_trajectories(key, 256, 512, alpha, 1.0))
+    # MSD(tau) ∝ tau^alpha: fit exponent over lags 1..32
+    lags = np.array([1, 2, 4, 8, 16, 32])
+    msd = [((trajs[:, lag:] - trajs[:, :-lag]) ** 2).sum(-1).mean() for lag in lags]
+    slope = np.polyfit(np.log(lags), np.log(msd), 1)[0]
+    assert abs(slope - alpha) < 0.08
