@@ -1,0 +1,149 @@
+"""End-to-end sim+train throughput benchmark.
+
+Measures the reference baseline experiment's per-cycle unit of work
+(tests/train_tests/trainModels.py), re-built TPU-native, and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+One cycle = generate 4 D-classes × 64 = 256 fresh sequences (30 frames of
+9×9 px, 10 sub-positions/frame, full PSF render + background + Poisson noise,
+normalized) **on device**, then train all 7 baseline models (3 embeddings ×
+{relu, leaky_relu} GeneralTransformers + MultiImageResNet,
+trainSettings.py:83-134) for one epoch each, then evaluate every model on the
+frozen validation videos (4 D values × 50 sequences) — exactly the work the
+reference does per cycle on host CPU + GPU.
+
+Baseline: the reference README states "a training run usually run in 1 hour"
+(README.md:78) for 100 such cycles ⇒ 256·100/3600 ≈ 7.1 generated
+sequences/sec through the full sim+train(+eval) pipeline. We benchmark in the
+reference's *slowest* regime (initial batch size 1 ⇒ 256 optimizer steps per
+model per cycle) to keep the comparison conservative.
+
+Usage: python bench.py [--cycles N] [--warmup N] [--json-only]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_SEQS_PER_SEC = 256.0 * 100.0 / 3600.0  # ≈ 7.11
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cycles", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    from moleculardiffusion_mivit_tpu.config import (
+        BASELINE_OPTICS,
+        ModelConfig,
+        TrainConfig,
+    )
+    from moleculardiffusion_mivit_tpu.evaluation import (
+        generate_frozen_validation,
+        render_validation_videos,
+    )
+    from moleculardiffusion_mivit_tpu.models import (
+        GeneralTransformer,
+        MultiImageResNet,
+        get_transformer_models,
+    )
+    from moleculardiffusion_mivit_tpu.train import make_train_fns
+    from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
+
+    train_cfg = TrainConfig(seed=0)
+    model_cfg = ModelConfig(use_pos_encoding=True)  # trainSettings.py:34
+    n_seq = train_cfg.sequences_per_d * len(train_cfg.training_ds)
+
+    models = dict(get_transformer_models(model_cfg))
+    models.update(
+        {
+            k + "_leaky": GeneralTransformer(
+                model_cfg.replace(activation="leaky_relu"), embedding=e
+            )
+            for k, e in [
+                ("linear_2layer", "linear"),
+                ("cnn_2layer", "cnn"),
+                ("deepcnn_2layer", "deep_resnet"),
+            ]
+        }
+    )
+    models["resnet"] = MultiImageResNet()
+
+    if not args.json_only:
+        print(f"devices: {jax.devices()}", file=sys.stderr)
+        print(f"models: {list(models)}", file=sys.stderr)
+
+    # Frozen validation (reference: 4 D values × 50 trajectories × 300 steps).
+    fixtures = generate_frozen_validation(d_values=(1, 3, 5, 7), in_order_particles=1)
+    fixtures.pop("valTrajsInOrder")
+    val_videos = render_validation_videos(fixtures, train_cfg, BASELINE_OPTICS)
+    val = {float(k[3:]): v for k, v in val_videos.items()}
+
+    fns = {}
+    states = {}
+    key = jax.random.key(0)
+    ex_videos, _, _ = generate_cycle_data(key, train_cfg, BASELINE_OPTICS)
+    for i, (name, model) in enumerate(models.items()):
+        init_state, train_cycle, evaluate = make_train_fns(model, train_cfg)
+        fns[name] = (train_cycle, evaluate)
+        states[name] = init_state(jax.random.fold_in(key, i), ex_videos[:1])
+
+    def run_cycle(cycle_idx):
+        k = jax.random.fold_in(key, 10_000 + cycle_idx)
+        videos, labels, _ = generate_cycle_data(k, train_cfg, BASELINE_OPTICS)
+        results = {}
+        for name in models:
+            train_cycle, evaluate = fns[name]
+            states[name], loss = train_cycle(
+                states[name],
+                videos,
+                labels,
+                None,
+                jax.random.fold_in(k, hash(name) % 2**31),
+                jnp.float32(train_cfg.lr),
+                args.batch_size,
+            )
+            mses = []
+            for d, vv in val.items():
+                preds = evaluate(states[name], vv)
+                mses.append(jnp.mean((preds[:, 0] - d) ** 2))
+            results[name] = jnp.stack(mses).mean()
+        return results
+
+    for w in range(args.warmup):
+        r = run_cycle(-1 - w)
+        jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for c in range(args.cycles):
+        r = run_cycle(c)
+    jax.block_until_ready(r)
+    elapsed = time.perf_counter() - t0
+
+    seqs_per_sec = n_seq * args.cycles / elapsed
+    result = {
+        "metric": "sim+train sequences/sec/chip (baseline experiment cycle: "
+        "on-device generation + 7 models trained + validated, batch size "
+        f"{args.batch_size})",
+        "value": round(seqs_per_sec, 2),
+        "unit": "sequences/sec",
+        "vs_baseline": round(seqs_per_sec / REFERENCE_SEQS_PER_SEC, 2),
+    }
+    if not args.json_only:
+        print(
+            f"{args.cycles} cycles in {elapsed:.2f}s; val_avg "
+            f"{ {k: round(float(v), 2) for k, v in r.items()} }",
+            file=sys.stderr,
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

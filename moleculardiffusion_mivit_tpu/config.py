@@ -143,6 +143,7 @@ class TrainConfig:
     traj_div_factor: float = 100.0
     center: bool = True
     loss: str = "mse"  # mse | l1 (Denoising experiment uses l1)
+    sequence_mode: bool = False  # per-frame predictions/labels (sequences=True)
     mix_trajectories: bool = False  # sequence-mode tail-swap augmentation
     seed: int = 0
 

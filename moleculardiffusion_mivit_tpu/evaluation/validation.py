@@ -1,0 +1,152 @@
+"""Frozen validation sets, in-order D sweeps and error tables.
+
+The reference evaluates on frozen trajectory assets
+(``Experiments/validation_trajectories/{20,30}/val{1,3,5,7,9}.npy`` — 50
+trajectories × (200|300) steps × 2 — plus ``valTrajsInOrder.npy`` of shape
+(70, 10, 300, 2) covering D = 0.1..7.0 in steps of 0.1), re-rendered by each
+experiment's ``load_validation_data`` and scored as
+``mse = mean((pred·D_max − D_true)²)``, ``std = std(err)/4``
+(Experiments/PSFNoise/train_resultsPSFNoise.ipynb cell 10).
+
+This module can (a) generate our own frozen sets deterministically from a
+seed, (b) load the reference's assets read-only when mounted, and (c) produce
+the same error tables / CSV layout as the poster notebooks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.sim import (
+    normalize_images,
+    single_state,
+    trajectories_to_video,
+)
+
+REFERENCE_VAL_DIR = "/root/reference/Experiments/validation_trajectories"
+IN_ORDER_D_VALUES = np.round(np.arange(0.1, 7.01, 0.1), 10)
+
+
+def generate_frozen_validation(
+    seed: int = 2025,
+    d_values: Sequence[float] = (1, 3, 5, 7, 9),
+    n_particles: int = 50,
+    t_steps: int = 300,
+    in_order_particles: int = 10,
+) -> Dict[str, np.ndarray]:
+    """Deterministically generate a validation suite equivalent to the
+    reference's frozen assets: one (N, T, 2) trajectory array per D value at
+    fixed D (variance 0), plus an in-order grid (len(D_grid), P, T, 2) over
+    D = 0.1..7.0. Units match the reference assets (trajectory units *before*
+    the /traj_div_factor scaling applied at load time)."""
+    key = jax.random.key(seed)
+    out: Dict[str, np.ndarray] = {}
+    for i, d in enumerate(d_values):
+        trajs, _ = single_state(jax.random.fold_in(key, i), n_particles, t_steps, Ds=(float(d), 0.0))
+        out[f"val{d:g}"] = np.asarray(trajs, np.float64)
+    grid = []
+    for j, d in enumerate(IN_ORDER_D_VALUES):
+        trajs, _ = single_state(
+            jax.random.fold_in(key, 1000 + j), in_order_particles, t_steps, Ds=(float(d), 0.0)
+        )
+        grid.append(np.asarray(trajs, np.float64))
+    out["valTrajsInOrder"] = np.stack(grid)  # (70, P, T, 2)
+    return out
+
+
+def load_reference_validation(
+    length: int = 30, base_dir: str = REFERENCE_VAL_DIR
+) -> Optional[Dict[str, np.ndarray]]:
+    """Load the reference's frozen assets read-only if mounted, in the same
+    dict layout as ``generate_frozen_validation``. Returns None if absent."""
+    subdir = os.path.join(base_dir, str(length))
+    if not os.path.isdir(subdir):
+        return None
+    out: Dict[str, np.ndarray] = {}
+    for d in (1, 3, 5, 7, 9):
+        path = os.path.join(subdir, f"val{d}.npy")
+        if os.path.exists(path):
+            out[f"val{d}"] = np.load(path)
+    in_order = os.path.join(base_dir, "valTrajsInOrder.npy")
+    if os.path.exists(in_order):
+        out["valTrajsInOrder"] = np.load(in_order)
+    return out or None
+
+
+def load_validation_trajectories(length: int = 30, seed: int = 2025):
+    """Reference assets when available, otherwise our deterministic set."""
+    ref = load_reference_validation(length)
+    if ref is not None:
+        return ref
+    return generate_frozen_validation(seed=seed, t_steps=length * 10)
+
+
+def render_validation_videos(
+    trajectories: Dict[str, np.ndarray],
+    train_cfg: TrainConfig,
+    optics: OpticsConfig,
+    seed: int = 7,
+    renderer=None,
+) -> Dict[str, jax.Array]:
+    """Re-render frozen trajectories the way each experiment's
+    ``load_validation_data`` does (e.g. trainSettings.py:140-171): divide by
+    ``traj_div_factor``, render with centering, normalize against
+    ``(bg_mean, bg_sigma, part_mean + bg_mean)``.
+
+    ``renderer(key, trajs, n_pos_per_frame)`` may override the default
+    single-setting renderer (PSF-grid / framerate experiments). For the
+    in-order asset the (D, P) axes are flattened to a batch before rendering
+    and restored after.
+    """
+    bg_mean, bg_sigma = optics.background_intensity
+    part_mean = optics.particle_intensity[0]
+    key = jax.random.key(seed)
+
+    def default_renderer(k, trajs, p):
+        vids = trajectories_to_video(k, trajs, p, train_cfg.center, optics)
+        vids, _ = normalize_images(vids, bg_mean, bg_sigma, part_mean + bg_mean)
+        return vids
+
+    render = renderer or default_renderer
+    out: Dict[str, jax.Array] = {}
+    for i, (name, trajs) in enumerate(sorted(trajectories.items())):
+        k = jax.random.fold_in(key, i)
+        trajs = jnp.asarray(trajs, jnp.float32) / train_cfg.traj_div_factor
+        if name == "valTrajsInOrder":
+            n_d, n_p, t, _ = trajs.shape
+            flat = trajs.reshape(n_d * n_p, t, 2)
+            vids = render(k, flat, train_cfg.n_pos_per_frame)
+            out[name] = vids.reshape((n_d, n_p) + vids.shape[1:])
+        else:
+            out[name] = render(k, trajs, train_cfg.n_pos_per_frame)
+    return out
+
+
+def error_table(
+    predictions: np.ndarray, d_values: np.ndarray = IN_ORDER_D_VALUES
+) -> Dict[str, float]:
+    """Poster-notebook scoring (train_resultsPSFNoise.ipynb cell 10):
+    ``predictions`` of shape (len(d_values), P) are already rescaled by
+    D_max; errors = pred − true; mse = mean(err²); std = std(err)/4."""
+    preds = np.asarray(predictions)
+    errors = preds - np.asarray(d_values)[:, None]
+    return {
+        "mse": float(np.mean(errors**2)),
+        "std": float(np.std(errors) / 4.0),
+        "mae": float(np.mean(np.abs(errors))),
+    }
+
+
+def save_error_table_csv(rows: Dict[str, Dict[str, float]], path: str) -> None:
+    """Write the poster CSV layout: ``model,mse,std`` per row
+    (outPoster/poster-model_errors-final.csv)."""
+    with open(path, "w") as f:
+        f.write("model,mse,std\n")
+        for name, stats in rows.items():
+            f.write(f"{name},{stats['mse']:.6g},{stats['std']:.6g}\n")

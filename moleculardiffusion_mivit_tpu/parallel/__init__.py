@@ -1,0 +1,8 @@
+from moleculardiffusion_mivit_tpu.parallel.mesh import (  # noqa: F401
+    grid_sharding,
+    make_mesh,
+    shard_grid,
+)
+from moleculardiffusion_mivit_tpu.parallel.steps import (  # noqa: F401
+    make_sharded_grid_step,
+)

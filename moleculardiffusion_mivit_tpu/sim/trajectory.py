@@ -196,12 +196,11 @@ def single_state(
     particle-major layout the reference obtains by transposing
     (trainModels.py:123-124).
     """
-    d_mean, d_sigma = (Ds, 0.0) if jnp.ndim(Ds) == 0 and not isinstance(Ds, (tuple, list)) else (Ds[0], Ds[1])
-    a_mean, a_sigma = (
-        (alphas, 0.0)
-        if jnp.ndim(alphas) == 0 and not isinstance(alphas, (tuple, list))
-        else (alphas[0], alphas[1])
-    )
+    def _pair(v):
+        return (float(v[0]), float(v[1])) if isinstance(v, (tuple, list)) else (float(v), 0.0)
+
+    d_mean, d_sigma = _pair(Ds)
+    a_mean, a_sigma = _pair(alphas)
     pure_brownian = float(a_mean) == 1.0 and float(a_sigma) == 0.0
     return _single_state_impl(
         key,

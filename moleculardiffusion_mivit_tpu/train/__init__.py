@@ -1,0 +1,11 @@
+from moleculardiffusion_mivit_tpu.train.loop import (  # noqa: F401
+    TrainState,
+    generate_cycle_data,
+    make_optimizer,
+    make_train_fns,
+    run_training,
+)
+from moleculardiffusion_mivit_tpu.train.grid import (  # noqa: F401
+    ModelGrid,
+    make_grid_train_fns,
+)

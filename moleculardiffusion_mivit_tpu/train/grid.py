@@ -1,0 +1,138 @@
+"""Vmapped model grids: train many small homogeneous models as one program.
+
+The reference trains its experiment grids sequentially in Python — 60 models
+for PSFNoise (5 PSF × 6 noise × {transformer, resnet},
+Experiments/PSFNoise/trainSettingsPSFNoise.py:90-125), 12 for Framerate, 14
+for Denoising — each a separate torch module looped over per cycle. Each
+model is tiny (~0.2-0.8M params, ≤61 tokens), far below what fills an MXU.
+
+Here a homogeneous grid becomes a *stacked-parameter axis*: ``vmap`` over the
+model axis of the single-model epoch turns the whole grid into one XLA
+program whose batched matmuls actually saturate the hardware, and the model
+axis shards across TPU devices via ``jax.sharding`` (see ``parallel.mesh``).
+BatchNorm statistics ride along the vmapped axis as ordinary stacked pytree
+leaves.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from moleculardiffusion_mivit_tpu.config import TrainConfig
+from moleculardiffusion_mivit_tpu.models import init_model
+from moleculardiffusion_mivit_tpu.train.loop import TrainState, _loss, _set_lr, make_optimizer
+
+
+class ModelGrid(struct.PyTreeNode):
+    """Stacked train state for ``n_models`` copies of one architecture."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @property
+    def n_models(self) -> int:
+        return jax.tree.leaves(self.params)[0].shape[0]
+
+
+def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = False):
+    """Build ``(init_grid, train_cycle, evaluate)`` for a vmapped model grid.
+
+    Data layout is model-major: ``videos (M, N, F, S, S)``,
+    ``labels (M, N, k)`` (tile shared labels across M). Each model trains on
+    its own slice — exactly the reference's ``make_prediction`` dispatch that
+    feeds grid cell (psf, noise) to model ``tr_{psf}_{noise}``
+    (trainSettingsPSFNoise.py:164-172) — but all models step together.
+    """
+    tx = make_optimizer(train_cfg)
+
+    def init_grid(key, n_models: int, example_videos, example_features=None) -> ModelGrid:
+        def init_one(k):
+            args = (
+                (example_videos, example_features)
+                if with_features
+                else (example_videos,)
+            )
+            params, bstats = init_model(model, k, *args)
+            return params, bstats, tx.init(params)
+
+        keys = jax.random.split(key, n_models)
+        params, bstats, opt_state = jax.vmap(init_one)(keys)
+        return ModelGrid(params, bstats, opt_state)
+
+    def loss_fn(params, batch_stats, bv, bf, by, dropout_key):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        args = (bv, bf) if with_features else (bv,)
+        out, mutated = model.apply(
+            variables, *args, train=True, mutable=mutable, rngs={"dropout": dropout_key}
+        )
+        if by.ndim == 2 and out.ndim == 3:
+            by = by[..., None]
+        return _loss(out, by, train_cfg.loss), mutated.get("batch_stats", batch_stats)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _epoch_one(state: TrainState, videos, labels, features, key, lr, batch_size: int):
+        n = videos.shape[0]
+        steps = n // batch_size
+        k_perm, k_drop = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, n)[: steps * batch_size].reshape(
+            steps, batch_size
+        )
+        state = state.replace(opt_state=_set_lr(state.opt_state, lr))
+
+        def body(st, idx):
+            bv = videos[idx]
+            by = labels[idx]
+            bf = features[idx] if with_features else None
+            dk = jax.random.fold_in(k_drop, idx[0])
+            (loss, new_bstats), grads = grad_fn(st.params, st.batch_stats, bv, bf, by, dk)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            return TrainState(optax.apply_updates(st.params, updates), new_bstats, new_opt), loss
+
+        state, losses = jax.lax.scan(body, state, perm)
+        return state, jnp.mean(losses)
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",))
+    def train_cycle(grid: ModelGrid, videos, labels, features, key, lr, batch_size: int):
+        m = videos.shape[0]
+        keys = jax.random.split(key, m)
+
+        def one(params, bstats, opt, vids, labs, feats, k):
+            st = TrainState(params, bstats, opt)
+            st, loss = _epoch_one(st, vids, labs, feats, k, lr, batch_size)
+            return st.params, st.batch_stats, st.opt_state, loss
+
+        in_feats = features if with_features else None
+        params, bstats, opt, losses = jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, 0 if with_features else None, 0)
+        )(grid.params, grid.batch_stats, grid.opt_state, videos, labels, in_feats, keys)
+        return ModelGrid(params, bstats, opt), losses
+
+    @jax.jit
+    def evaluate(grid: ModelGrid, videos, features=None):
+        """videos (M, N, F, S, S) → rescaled predictions (M, N, ...)."""
+
+        def one(params, bstats, vids, feats):
+            variables = {"params": params}
+            if bstats:
+                variables["batch_stats"] = bstats
+            args = (vids, feats) if with_features else (vids,)
+            return model.apply(variables, *args, train=False)
+
+        out = jax.vmap(one, in_axes=(0, 0, 0, 0 if with_features else None))(
+            grid.params, grid.batch_stats, videos, features if with_features else None
+        )
+        return out * train_cfg.d_max_normalization
+
+    return init_grid, train_cycle, evaluate

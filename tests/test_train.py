@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.evaluation import (
+    generate_frozen_validation,
+    render_validation_videos,
+)
+from moleculardiffusion_mivit_tpu.models import GeneralTransformer, MultiImageResNet
+from moleculardiffusion_mivit_tpu.train import (
+    make_grid_train_fns,
+    run_training,
+)
+from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data, mix_trajectory_tails
+
+SMALL_TRAIN = TrainConfig(
+    num_cycles=5,
+    sequences_per_d=16,
+    training_ds=((1, 1), (5, 1)),
+    adaptive_batch_size=-1,
+    fixed_batch_size=16,
+    n_frames=10,
+    n_pos_per_frame=5,
+    seed=0,
+)
+SMALL_MODEL = ModelConfig(patch_size=9, embed_dim=32, num_heads=4, hidden_dim=64, num_layers=2)
+
+
+def test_generate_cycle_data_shapes():
+    videos, labels, feats = generate_cycle_data(
+        jax.random.key(0), SMALL_TRAIN, BASELINE_OPTICS
+    )
+    assert videos.shape == (32, 10, 9, 9)
+    assert labels.shape == (32, 1)
+    assert feats is None
+    y = np.asarray(labels) * SMALL_TRAIN.d_max_normalization
+    # first class ~ N(1,1) truncated, second ~ N(5,1): class means separated
+    assert y[:16].mean() < y[16:].mean()
+
+
+def test_generate_cycle_data_sequence_mode():
+    cfg = SMALL_TRAIN.replace(sequence_mode=True)
+    videos, labels, _ = generate_cycle_data(jax.random.key(0), cfg, BASELINE_OPTICS)
+    assert labels.shape == (32, 10)
+    # constant-D trajectories → identical label at every frame
+    l = np.asarray(labels)
+    np.testing.assert_allclose(l, np.broadcast_to(l[:, :1], l.shape), rtol=1e-6)
+
+
+def test_mix_trajectory_tails():
+    key = jax.random.key(1)
+    # f=30 keeps the reference's split range [10, 20) strictly inside the
+    # sequence so heads are guaranteed unchanged.
+    n_classes, n_per, f = 4, 8, 30
+    videos = jnp.broadcast_to(
+        jnp.arange(n_classes, dtype=jnp.float32)[:, None, None, None, None],
+        (n_classes, n_per, f, 3, 3),
+    ).reshape(n_classes * n_per, f, 3, 3)
+    labels = jnp.broadcast_to(
+        jnp.arange(n_classes, dtype=jnp.float32)[:, None, None], (n_classes, n_per, f)
+    ).reshape(n_classes * n_per, f)
+    mv, ml = mix_trajectory_tails(key, videos, labels, n_classes, f)
+    ml = np.asarray(ml)
+    # Some sequences must now contain a transition (two distinct labels)
+    n_mixed = sum(len(np.unique(row)) > 1 for row in ml)
+    assert n_mixed > 0
+    # Heads unchanged: first frame label equals original class
+    np.testing.assert_allclose(ml[:, 0], np.asarray(labels)[:, 0])
+    # Label/video consistency: video value equals label value everywhere
+    np.testing.assert_allclose(np.asarray(mv)[:, :, 0, 0], ml)
+
+
+def test_run_training_val_mse_improves():
+    """v0 end-to-end: tiny MiViT, on-device generation, val MSE drops."""
+    fixtures = generate_frozen_validation(
+        seed=9, d_values=(1, 5), n_particles=16, t_steps=50, in_order_particles=2
+    )
+    fixtures.pop("valTrajsInOrder")
+    vids = render_validation_videos(fixtures, SMALL_TRAIN, BASELINE_OPTICS)
+    val_videos = {1.0: vids["val1"], 5.0: vids["val5"]}
+    model = GeneralTransformer(SMALL_MODEL, embedding="linear")
+    state, history = run_training(
+        model, SMALL_TRAIN, BASELINE_OPTICS, val_videos, num_cycles=5
+    )
+    assert len(history["val_avg"]) == 5
+    assert history["val_avg"][-1] < history["val_avg"][0]
+    # a couple of cycles should already beat the trivial predict-0 MSE (13)
+    assert history["val_avg"][-1] < 13.0
+
+
+def test_grid_training_two_models():
+    init_grid, train_cycle, evaluate = make_grid_train_fns(
+        MultiImageResNet(), SMALL_TRAIN
+    )
+    videos, labels, _ = generate_cycle_data(jax.random.key(0), SMALL_TRAIN, BASELINE_OPTICS)
+    m = 2
+    videos_m = jnp.stack([videos, videos * 0.5])  # each model its own data slice
+    labels_m = jnp.stack([labels, labels])
+    grid = init_grid(jax.random.key(1), m, videos[:1])
+    grid2, losses = train_cycle(
+        grid, videos_m, labels_m, None, jax.random.key(2), jnp.float32(1e-4), 16
+    )
+    assert losses.shape == (m,)
+    assert np.isfinite(np.asarray(losses)).all()
+    # models diverged (different data slices)
+    p0 = jax.tree.leaves(grid2.params)[0]
+    assert not np.allclose(np.asarray(p0[0]), np.asarray(p0[1]))
+    preds = evaluate(grid2, videos_m)
+    assert preds.shape == (m, videos.shape[0], 1)
