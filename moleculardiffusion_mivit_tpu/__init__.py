@@ -31,4 +31,21 @@ Subpackages
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: first compiles of the fused renderers are
+# expensive through the TPU tunnel (minutes); every later process reuses them.
+# Opt out with MIVIT_NO_COMPILE_CACHE=1.
+if not _os.environ.get("MIVIT_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "MIVIT_COMPILE_CACHE_DIR", _os.path.expanduser("~/.cache/jax")
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without these options
+        pass
+
 from moleculardiffusion_mivit_tpu import config  # noqa: F401

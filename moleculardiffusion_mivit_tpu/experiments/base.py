@@ -1,0 +1,257 @@
+"""Shared experiment engine.
+
+Each reference experiment is a ``trainSettings*.py`` + ``trainModels*.py``
+pair whose skeleton is identical (SURVEY.md §2.3): a dict of models, one
+AdamW + StepLR per model, a cycle loop of generate→train-all→validate, and a
+``make_prediction`` dispatch that slices each model's input out of the
+generated tensor. Here that skeleton is one engine with two kinds of arms:
+
+- ``ModelEntry``: one (possibly unique) architecture — compiled per model;
+  also covers non-learned baselines (the MSD arms) and eval-time rotation
+  TTA (trainSettingsImagesFeatures.py:255-300).
+- ``GridArm``: a homogeneous stack of models (e.g. PSFNoise's 30 transformers
+  over the 5×6 grid) trained as ONE vmapped program via ``train.grid`` —
+  the reference trains these sequentially in Python (60 separate torch
+  modules, trainModelsPSFNoise.py:177-196); here the whole stack steps
+  together and can shard across a TPU mesh.
+
+``generate_fn(key) -> data dict`` runs on device; slice functions implement
+the reference's ``make_prediction`` input dispatch. History matches the
+reference's ``validation_losses`` layout ({"val_<D>": [...], "val_avg":
+[...]}, trainModels.py:50-52).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.train.grid import make_grid_train_fns
+from moleculardiffusion_mivit_tpu.train.loop import make_train_fns
+
+# data dict -> (videos, features_or_None, labels)
+SliceFn = Callable[[Dict[str, Any]], Tuple[jax.Array, Optional[jax.Array], jax.Array]]
+# data dict -> model-major (videos (M,...), features_or_None (M,...), labels (M,...))
+GridSliceFn = Callable[[Dict[str, Any]], Tuple[jax.Array, Optional[jax.Array], jax.Array]]
+
+
+@dataclasses.dataclass
+class ModelEntry:
+    """One arm. ``model=None`` marks a non-learned baseline; then
+    ``baseline_fn(data)`` returns predictions already in physical D units."""
+
+    model: Any = None
+    slice_fn: Optional[SliceFn] = None
+    with_features: bool = False
+    baseline_fn: Optional[Callable[[Dict[str, Any]], jax.Array]] = None
+    tta_rotations: bool = False
+    train_cfg: Optional[TrainConfig] = None  # per-arm override (rare)
+
+
+@dataclasses.dataclass
+class GridArm:
+    """A homogeneous stack of ``len(names)`` models trained as one vmapped
+    program. ``slice_fn`` returns model-major arrays aligned with ``names``."""
+
+    model: Any
+    names: List[str]
+    slice_fn: GridSliceFn
+    with_features: bool = False
+
+
+def rotate_videos(videos: jax.Array, k: int) -> jax.Array:
+    """Rotate (B, T, H, W) frames by k·90° in the image plane."""
+    return jnp.rot90(videos, k=k, axes=(-2, -1))
+
+
+class Experiment:
+    def __init__(
+        self,
+        name: str,
+        train_cfg: TrainConfig,
+        optics: OpticsConfig,
+        arms: Dict[str, Union[ModelEntry, GridArm]],
+        generate_fn: Callable[[jax.Array], Dict[str, Any]],
+        val_data: Dict[float, Dict[str, Any]],
+        in_order_data: Optional[Dict[str, Any]] = None,
+    ):
+        self.name = name
+        self.train_cfg = train_cfg
+        self.optics = optics
+        self.arms = arms
+        self.generate_fn = generate_fn
+        self.val_data = val_data
+        self.in_order_data = in_order_data
+        self._fns: Dict[str, tuple] = {}
+        self.states: Dict[str, Any] = {}
+        self.history: Dict[str, Dict[str, list]] = {}
+        self._built = False
+
+    @property
+    def model_names(self) -> List[str]:
+        out = []
+        for arm_name, arm in self.arms.items():
+            out.extend(arm.names if isinstance(arm, GridArm) else [arm_name])
+        return out
+
+    # -- setup ----------------------------------------------------------
+    def build(self, key: Optional[jax.Array] = None) -> None:
+        key = key if key is not None else jax.random.key(self.train_cfg.seed)
+        example = self.generate_fn(jax.random.fold_in(key, 0))
+        for name in self.model_names:
+            self.history[name] = {f"val_{d:g}": [] for d in self.val_data}
+            self.history[name]["val_avg"] = []
+        for i, (arm_name, arm) in enumerate(self.arms.items()):
+            k = jax.random.fold_in(key, 1000 + i)
+            if isinstance(arm, GridArm):
+                videos, feats, _ = arm.slice_fn(example)
+                init_grid, train_cycle, evaluate = make_grid_train_fns(
+                    arm.model, self.train_cfg, arm.with_features
+                )
+                self._fns[arm_name] = (train_cycle, evaluate)
+                self.states[arm_name] = init_grid(
+                    k,
+                    len(arm.names),
+                    videos[0, :1],
+                    feats[0, :1] if arm.with_features else None,
+                )
+            elif arm.model is not None:
+                cfg = arm.train_cfg or self.train_cfg
+                videos, feats, _ = arm.slice_fn(example)
+                init_state, train_cycle, evaluate = make_train_fns(
+                    arm.model, cfg, arm.with_features
+                )
+                self._fns[arm_name] = (train_cycle, evaluate)
+                self.states[arm_name] = init_state(
+                    k, videos[:1], feats[:1] if arm.with_features else None
+                )
+        self._built = True
+
+    # -- prediction (the make_prediction dispatch) -----------------------
+    def _arm_of(self, model_name: str):
+        for arm_name, arm in self.arms.items():
+            if isinstance(arm, GridArm):
+                if model_name in arm.names:
+                    return arm_name, arm
+            elif arm_name == model_name:
+                return arm_name, arm
+        raise KeyError(model_name)
+
+    def _grid_predictions(self, arm_name: str, arm: GridArm, data) -> jax.Array:
+        _, evaluate = self._fns[arm_name]
+        videos, feats, _ = arm.slice_fn(data)
+        return evaluate(self.states[arm_name], videos, feats)
+
+    def predict(self, model_name: str, data: Dict[str, Any]) -> jax.Array:
+        """Rescaled predictions in physical D units for one model arm."""
+        arm_name, arm = self._arm_of(model_name)
+        if isinstance(arm, GridArm):
+            preds = self._grid_predictions(arm_name, arm, data)
+            return preds[arm.names.index(model_name)]
+        if arm.model is None:
+            return arm.baseline_fn(data)
+        _, evaluate = self._fns[arm_name]
+        videos, feats, _ = arm.slice_fn(data)
+        state = self.states[arm_name]
+
+        def run(v):
+            return evaluate(state, v, feats) if arm.with_features else evaluate(state, v)
+
+        if arm.tta_rotations:
+            return jnp.mean(jnp.stack([run(rotate_videos(videos, k)) for k in range(4)]), axis=0)
+        return run(videos)
+
+    # -- training -------------------------------------------------------
+    def run(
+        self,
+        num_cycles: Optional[int] = None,
+        callback: Optional[Callable[[int, Dict[str, float]], None]] = None,
+        eval_every: int = 1,
+        checkpoint_last: int = 0,
+        checkpoint_dir: Optional[str] = None,
+    ):
+        if not self._built:
+            self.build()
+        num_cycles = num_cycles or self.train_cfg.num_cycles
+        key = jax.random.key(self.train_cfg.seed + 1)
+
+        for cycle in range(num_cycles):
+            k_cycle = jax.random.fold_in(key, cycle)
+            k_gen, k_train = jax.random.split(k_cycle)
+            data = self.generate_fn(k_gen)
+            bs = self.train_cfg.batch_size_for_cycle(cycle)
+            lr = jnp.float32(self.train_cfg.lr_for_cycle(cycle))
+
+            for j, (arm_name, arm) in enumerate(self.arms.items()):
+                if isinstance(arm, ModelEntry) and arm.model is None:
+                    continue
+                train_cycle, _ = self._fns[arm_name]
+                videos, feats, labels = arm.slice_fn(data)
+                self.states[arm_name], _ = train_cycle(
+                    self.states[arm_name],
+                    videos,
+                    labels,
+                    feats,
+                    jax.random.fold_in(k_train, j),
+                    lr,
+                    bs,
+                )
+
+            if (cycle + 1) % eval_every == 0 or cycle == num_cycles - 1:
+                cycle_avgs = self._evaluate_cycle()
+                if callback:
+                    callback(cycle, cycle_avgs)
+            if checkpoint_dir and checkpoint_last and num_cycles - cycle <= checkpoint_last:
+                from moleculardiffusion_mivit_tpu.utils.checkpoint import save_experiment
+
+                save_experiment(self, f"{checkpoint_dir}/{self.name}_cycle{cycle}")
+        return self.states, self.history
+
+    def _evaluate_cycle(self) -> Dict[str, float]:
+        cycle_avgs: Dict[str, float] = {}
+        per_model_d: Dict[str, list] = {n: [] for n in self.model_names}
+        for d, vdata in self.val_data.items():
+            # grid arms: one evaluate call per arm covers all member models,
+            # and the per-model MSE vector is reduced on device then fetched
+            # in ONE transfer (per-model float() syncs dominate cycle time
+            # through the TPU tunnel otherwise)
+            for arm_name, arm in self.arms.items():
+                if isinstance(arm, GridArm):
+                    preds = self._grid_predictions(arm_name, arm, vdata)
+                    p = preds[..., 0] if preds.ndim > 2 else preds
+                    mses = jax.device_get(
+                        jnp.mean((p - d) ** 2, axis=tuple(range(1, p.ndim)))
+                    )
+                    for mi, mname in enumerate(arm.names):
+                        mse = float(mses[mi])
+                        self.history[mname][f"val_{d:g}"].append(mse)
+                        per_model_d[mname].append(mse)
+                else:
+                    p = self.predict(arm_name, vdata)
+                    p = p[..., 0] if p.ndim > 1 else p
+                    mse = float(jnp.mean((p - d) ** 2))
+                    self.history[arm_name][f"val_{d:g}"].append(mse)
+                    per_model_d[arm_name].append(mse)
+        for mname, vals in per_model_d.items():
+            avg = sum(vals) / len(vals)
+            self.history[mname]["val_avg"].append(avg)
+            cycle_avgs[mname] = avg
+        return cycle_avgs
+
+    # -- poster-style scoring --------------------------------------------
+    def in_order_error_tables(self) -> Dict[str, Dict[str, float]]:
+        """Evaluate every arm on the in-order D sweep and score it the poster
+        way (mse of pred−true, std/4) — train_resultsPSFNoise.ipynb cell 10."""
+        from moleculardiffusion_mivit_tpu.evaluation import error_table
+
+        assert self.in_order_data is not None, "experiment has no in-order sweep"
+        d_values = self.in_order_data["d_values"]
+        out = {}
+        for name in self.model_names:
+            preds = self.predict(name, self.in_order_data)
+            out[name] = error_table(jnp.reshape(preds, (len(d_values), -1)), d_values)
+        return out

@@ -1,0 +1,8 @@
+from moleculardiffusion_mivit_tpu.utils.checkpoint import (  # noqa: F401
+    restore_experiment,
+    restore_pytree,
+    save_experiment,
+    save_pytree,
+)
+from moleculardiffusion_mivit_tpu.utils.metrics import MetricsLogger  # noqa: F401
+from moleculardiffusion_mivit_tpu.utils.profiling import profile_trace, time_block  # noqa: F401

@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+import jax
+
+from moleculardiffusion_mivit_tpu.experiments import REGISTRY, get_experiment
+
+
+def _assert_ran(exp, expected_models, n_cycles):
+    states, history = exp.run(num_cycles=n_cycles)
+    assert set(history) == set(expected_models)
+    for name, h in history.items():
+        assert len(h["val_avg"]) == n_cycles
+        assert np.isfinite(h["val_avg"]).all(), name
+
+
+def test_registry_complete():
+    assert set(REGISTRY) == {
+        "baseline",
+        "psfnoise",
+        "framerate",
+        "embeddings",
+        "images_features",
+        "denoising",
+    }
+
+
+def test_baseline_experiment_smoke():
+    exp = get_experiment(
+        "baseline", sequences_per_d=8, val_length=6, try_leaky_relu=False
+    )
+    expected = {"linear_2layer_s", "cnn_2layer_s", "deepcnn_2layer_s", "resnet"}
+    _assert_ran(exp, expected, 1)
+
+
+def test_baseline_sequence_mode_smoke():
+    exp = get_experiment(
+        "baseline", sequences_per_d=8, val_length=12, sequences=True, try_leaky_relu=False
+    )
+    _assert_ran(exp, {"linear_2layer_s", "cnn_2layer_s", "deepcnn_2layer_s", "resnet"}, 1)
+
+
+def test_psfnoise_experiment_smoke():
+    exp = get_experiment(
+        "psfnoise",
+        sequences_per_d=8,
+        val_length=6,
+        psf_settings=(2.0, 1.0),
+        noise_settings=(0.0, 0.1),
+        val_d_values=(1.0, 5.0),
+    )
+    expected = {f"{p}_{i}_{j}" for p in ("tr", "res") for i in range(2) for j in range(2)}
+    _assert_ran(exp, expected, 1)
+
+
+def test_framerate_experiment_smoke():
+    exp = get_experiment(
+        "framerate", sequences_per_d=8, val_length=6, rates=(5, 10), val_d_values=(1.0, 5.0)
+    )
+    _assert_ran(exp, {"tr_0", "res_0", "tr_1", "res_1"}, 1)
+
+
+def test_embeddings_experiment_smoke_and_param_counts():
+    from moleculardiffusion_mivit_tpu.experiments.embeddings import param_counts
+
+    exp = get_experiment("embeddings", sequences_per_d=8, val_length=6, val_d_values=(1.0, 5.0))
+    exp.build()
+    counts = param_counts(exp)
+    assert len(counts) == 10
+    # big variant must be bigger than normal, which is bigger than small
+    assert counts["linear_2layer_b"] > counts["linear_2layer_n"] > counts["linear_2layer_s"]
+    _assert_ran(exp, set(counts), 1)
+
+
+def test_images_features_experiment_smoke():
+    exp = get_experiment(
+        "images_features", sequences_per_d=8, val_length=6, val_d_values=(1.0, 5.0)
+    )
+    expected = {
+        "im_tr",
+        "im_ft_early_tr",
+        "im_ft_late_tr",
+        "im_resnet",
+        "im_ft_resnet",
+        "ft_mlp",
+        "MSD_Perfect",
+        "MSD_Frame",
+        "MSD_Localized",
+    }
+    _assert_ran(exp, expected, 1)
+    # MSD_Perfect on raw (scaled) trajectories should be close to truth:
+    # MSD(tau=1) of raw trajectory (unit-scaled /100) x 250 ≈ D.
+    h = exp.history["MSD_Perfect"]
+    assert h["val_5"][-1] < 6.0  # rough calibration sanity
+
+
+def test_denoising_experiment_smoke():
+    exp = get_experiment(
+        "denoising", sequences_per_d=8, val_length=6, val_d_values=(1.0, 5.0)
+    )
+    assert exp.train_cfg.loss == "l1"
+    assert exp.train_cfg.num_cycles == 10
+    expected = {
+        f"{p}_{s}"
+        for p in ("trans", "resnet")
+        for s in (
+            "no_noise",
+            "gaussian_noise",
+            "poisson_noise",
+            "gauss_filter",
+            "RL_2",
+            "RL_5",
+            "RL_10",
+        )
+    }
+    _assert_ran(exp, expected, 1)
+
+
+def test_experiment_checkpoint_roundtrip(tmp_path):
+    from moleculardiffusion_mivit_tpu.utils import restore_experiment, save_experiment
+
+    exp = get_experiment(
+        "baseline", sequences_per_d=8, val_length=6, try_leaky_relu=False
+    )
+    exp.run(num_cycles=1)
+    save_experiment(exp, str(tmp_path / "ckpt"))
+
+    exp2 = get_experiment(
+        "baseline", sequences_per_d=8, val_length=6, try_leaky_relu=False
+    )
+    exp2.build()
+    restore_experiment(exp2, str(tmp_path / "ckpt"))
+    assert exp2.history == exp.history
+    a = jax.tree.leaves(exp.states["resnet"].params)[0]
+    b = jax.tree.leaves(exp2.states["resnet"].params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
