@@ -12,4 +12,5 @@ from moleculardiffusion_mivit_tpu.sim.render import (  # noqa: F401
     trajectories_to_video_psf_noise_grid,
     normalize_images,
     generate_traj_and_videos_brownian,
+    render_widefield,
 )

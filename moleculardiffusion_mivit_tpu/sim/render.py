@@ -335,6 +335,55 @@ def trajectories_to_video_psf_noise_grid(
     return jnp.transpose(grid, (2, 0, 1, 3, 4, 5))
 
 
+@functools.partial(jax.jit, static_argnames=("n_pos_per_frame", "field_size", "optics"))
+def render_widefield(
+    key: jax.Array,
+    trajectories_px: jax.Array,
+    n_pos_per_frame: int = 1,
+    field_size: int = 63,
+    optics: OpticsConfig = OpticsConfig(),
+) -> jax.Array:
+    """Render MULTIPLE particles into one shared field of view.
+
+    The reference only renders per-particle patches (its real wide-field
+    movies come from the microscope); this utility synthesizes full-frame
+    movies for the detect→track→localize pipeline's integration tests and
+    demos, with the same PSF/peak-renormalization/background/Poisson model
+    as ``trajectories_to_video``.
+
+    trajectories_px: ``(K, T, 2)`` absolute (x, y) pixel positions (no unit
+    conversion, no y-inversion — positions are already in image coordinates
+    with y = row). Returns ``(T // n_pos_per_frame, field_size, field_size)``.
+    """
+    k_particles, t, _ = trajectories_px.shape
+    p = n_pos_per_frame
+    n_frames = t // p
+    s, u = field_size, optics.upsampling_factor
+    part_mean, part_std = optics.particle_intensity
+    bg_mean, bg_std = optics.background_intensity
+
+    grid = s * u
+    limit = (grid - 1) // 2
+    # absolute pixel position -> HR grid coordinate (center of the u-cell)
+    def to_hr(pos):
+        return pos * u + (u - 1) / 2.0 - limit
+
+    seg = trajectories_px.reshape(k_particles, n_frames, p, 2)
+    x_hr = to_hr(seg[..., 0]).transpose(1, 0, 2).reshape(n_frames, k_particles * p)
+    y_hr = to_hr(seg[..., 1]).transpose(1, 0, 2).reshape(n_frames, k_particles * p)
+
+    k_int, k_bg, k_poi = jax.random.split(key, 3)
+    intensities = part_mean / p + (part_std / p) * jax.random.normal(
+        k_int, (n_frames, k_particles * p), jnp.float32
+    )
+    frames = render_frames_core(x_hr, y_hr, intensities, optics.gaussian_sigma_hr, s, u)
+    frames = frames + _clipped_background(k_bg, frames.shape, bg_mean, bg_std)
+    if optics.poisson_noise != -1:
+        kk = jnp.float32(optics.poisson_noise)
+        frames = frames * _poisson(k_poi, jnp.broadcast_to(kk, frames.shape)) / kk
+    return frames
+
+
 def normalize_images(
     images: jax.Array,
     background_mean: Optional[float] = None,
