@@ -14,3 +14,8 @@ from moleculardiffusion_mivit_tpu.sim.render import (  # noqa: F401
     generate_traj_and_videos_brownian,
     render_widefield,
 )
+from moleculardiffusion_mivit_tpu.sim.constrained import (  # noqa: F401
+    PiecewiseLinearGeometry,
+    disp_fbm,
+    reflected_rectangle_trajectories,
+)
