@@ -85,6 +85,13 @@ def main():
     fixtures.pop("valTrajsInOrder")
     val_videos = render_validation_videos(fixtures, train_cfg, BASELINE_OPTICS)
     val = {float(k[3:]): v for k, v in val_videos.items()}
+    # one concatenated eval batch per model per cycle (dispatch latency
+    # through the TPU tunnel dominates 4 separate tiny eval calls)
+    val_ds = sorted(val)
+    val_concat = jnp.concatenate([val[d] for d in val_ds], axis=0)
+    val_targets = jnp.repeat(
+        jnp.asarray(val_ds, jnp.float32), val[val_ds[0]].shape[0]
+    )[:, None]
 
     fns = {}
     states = {}
@@ -110,11 +117,8 @@ def main():
                 jnp.float32(train_cfg.lr),
                 args.batch_size,
             )
-            mses = []
-            for d, vv in val.items():
-                preds = evaluate(states[name], vv)
-                mses.append(jnp.mean((preds[:, 0] - d) ** 2))
-            results[name] = jnp.stack(mses).mean()
+            preds = evaluate(states[name], val_concat)
+            results[name] = jnp.mean((preds - val_targets) ** 2)
         return results
 
     for w in range(args.warmup):

@@ -211,35 +211,58 @@ class Experiment:
                 save_experiment(self, f"{checkpoint_dir}/{self.name}_cycle{cycle}")
         return self.states, self.history
 
-    def _evaluate_cycle(self) -> Dict[str, float]:
-        cycle_avgs: Dict[str, float] = {}
-        per_model_d: Dict[str, list] = {n: [] for n in self.model_names}
-        for d, vdata in self.val_data.items():
-            # grid arms: one evaluate call per arm covers all member models,
-            # and the per-model MSE vector is reduced on device then fetched
-            # in ONE transfer (per-model float() syncs dominate cycle time
-            # through the TPU tunnel otherwise)
-            for arm_name, arm in self.arms.items():
-                if isinstance(arm, GridArm):
-                    preds = self._grid_predictions(arm_name, arm, vdata)
-                    p = preds[..., 0] if preds.ndim > 2 else preds
-                    mses = jax.device_get(
-                        jnp.mean((p - d) ** 2, axis=tuple(range(1, p.ndim)))
-                    )
-                    for mi, mname in enumerate(arm.names):
-                        mse = float(mses[mi])
-                        self.history[mname][f"val_{d:g}"].append(mse)
-                        per_model_d[mname].append(mse)
+    def _combined_val(self):
+        """Concatenate the per-D validation dicts into one batch so each arm
+        evaluates in ONE device call per cycle (dispatch latency through the
+        TPU tunnel dominates otherwise). Cached; returns
+        ``(data dict, d_list, segment sizes)``."""
+        if getattr(self, "_combined_val_cache", None) is None:
+            import numpy as _np
+
+            ds = list(self.val_data)
+            first = self.val_data[ds[0]]
+            sizes = [
+                int(jax.tree.leaves(self.val_data[d]["videos"])[0].shape[0]) for d in ds
+            ]
+            combined = {}
+            for k, v in first.items():
+                if v is None or _np.ndim(v) == 0:
+                    combined[k] = v
                 else:
-                    p = self.predict(arm_name, vdata)
-                    p = p[..., 0] if p.ndim > 1 else p
-                    mse = float(jnp.mean((p - d) ** 2))
-                    self.history[arm_name][f"val_{d:g}"].append(mse)
-                    per_model_d[arm_name].append(mse)
-        for mname, vals in per_model_d.items():
-            avg = sum(vals) / len(vals)
+                    combined[k] = jnp.concatenate(
+                        [jnp.asarray(self.val_data[d][k]) for d in ds], axis=0
+                    )
+            self._combined_val_cache = (combined, ds, sizes)
+        return self._combined_val_cache
+
+    def _evaluate_cycle(self) -> Dict[str, float]:
+        import numpy as np
+
+        cycle_avgs: Dict[str, float] = {}
+        combined, ds, sizes = self._combined_val()
+        bounds = np.cumsum([0] + sizes)
+
+        def record(mname, preds_np):
+            per_d = []
+            for di, d in enumerate(ds):
+                seg = preds_np[bounds[di] : bounds[di + 1]]
+                mse = float(np.mean((seg - d) ** 2))
+                self.history[mname][f"val_{d:g}"].append(mse)
+                per_d.append(mse)
+            avg = sum(per_d) / len(per_d)
             self.history[mname]["val_avg"].append(avg)
             cycle_avgs[mname] = avg
+
+        # record() averages (pred − d)² over ALL trailing axes, which covers
+        # both single predictions (N, 1) and sequence mode (N, T, 1).
+        for arm_name, arm in self.arms.items():
+            if isinstance(arm, GridArm):
+                preds = self._grid_predictions(arm_name, arm, combined)
+                preds_np = np.asarray(preds)  # (M, sumN, ...) one transfer
+                for mi, mname in enumerate(arm.names):
+                    record(mname, preds_np[mi])
+            else:
+                record(arm_name, np.asarray(self.predict(arm_name, combined)))
         return cycle_avgs
 
     # -- poster-style scoring --------------------------------------------

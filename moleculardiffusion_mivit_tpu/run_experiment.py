@@ -1,0 +1,90 @@
+"""CLI experiment runner — the ``python trainModels*.py`` equivalent.
+
+Usage:
+    python -m moleculardiffusion_mivit_tpu.run_experiment baseline \
+        --cycles 100 --out results/baseline [--seed 0] [--seqs-per-d 64]
+
+Runs the named experiment regime, streams per-cycle metrics to JSONL + stderr
+(the reference's parameter banner and progress prints, trainModels.py:58-110),
+checkpoints the last 5 cycles like the experiment scripts
+(trainModelsPSFNoise.py:241-242), and writes poster-style error-table CSVs
+when the experiment carries an in-order sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("experiment", help="baseline | psfnoise | framerate | embeddings | images_features | denoising")
+    ap.add_argument("--cycles", type=int, default=None, help="override num_cycles")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seqs-per-d", type=int, default=64)
+    ap.add_argument("--out", type=str, default=None, help="output directory")
+    ap.add_argument("--checkpoint-last", type=int, default=5)
+    ap.add_argument("--eval-every", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from moleculardiffusion_mivit_tpu.experiments import get_experiment
+    from moleculardiffusion_mivit_tpu.utils import MetricsLogger, save_experiment
+
+    out_dir = args.out or f"results/{args.experiment}"
+    os.makedirs(out_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"), stdout=True)
+
+    exp = get_experiment(args.experiment, seed=args.seed, sequences_per_d=args.seqs_per_d)
+    n_cycles = args.cycles or exp.train_cfg.num_cycles
+
+    logger.log(
+        "start",
+        experiment=args.experiment,
+        devices=[str(d) for d in jax.devices()],
+        num_cycles=n_cycles,
+        sequences_per_d=args.seqs_per_d,
+        training_ds=list(map(list, exp.train_cfg.training_ds)),
+        lr=exp.train_cfg.lr,
+        loss=exp.train_cfg.loss,
+        models=exp.model_names,
+    )
+
+    t0 = time.time()
+    exp.build()
+    logger.log("built", seconds=round(time.time() - t0, 1))
+
+    t0 = time.time()
+    exp.run(
+        num_cycles=n_cycles,
+        callback=logger.cycle_callback(),
+        eval_every=args.eval_every,
+        checkpoint_last=args.checkpoint_last,
+        checkpoint_dir=out_dir,
+    )
+    logger.log("trained", seconds=round(time.time() - t0, 1))
+
+    save_experiment(exp, os.path.join(out_dir, "final"))
+    final = {name: h["val_avg"][-1] for name, h in exp.history.items() if h["val_avg"]}
+    logger.log("final_val_avg", values=final)
+
+    if exp.in_order_data is not None:
+        from moleculardiffusion_mivit_tpu.evaluation import save_error_table_csv
+
+        tables = exp.in_order_error_tables()
+        csv_path = os.path.join(out_dir, f"{args.experiment}_errors.csv")
+        save_error_table_csv(tables, csv_path)
+        logger.log("error_tables", path=csv_path, tables=tables)
+
+    with open(os.path.join(out_dir, "history.json"), "w") as f:
+        json.dump(exp.history, f)
+    print(f"results in {out_dir}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -335,6 +335,53 @@ def trajectories_to_video_psf_noise_grid(
     return jnp.transpose(grid, (2, 0, 1, 3, 4, 5))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nframes", "npixel", "factor_hr", "nposframe")
+)
+def generate_images_legacy(
+    key: jax.Array,
+    trajectory: jax.Array,
+    nframes: int,
+    npixel: int,
+    factor_hr: int,
+    nposframe: int,
+    fwhm_psf: float,
+    pixelsize: float,
+    flux: float,
+    background: float,
+    gaussian_noise: float,
+):
+    """Legacy IABM image generator (helpersGeneration.py:101-124).
+
+    Differences vs the main renderer, preserved: sigma = ``2.35·fwhm/pixel``
+    (the constant multiplies rather than divides — reference line 117), no
+    per-spot intensity draw (constant ``flux``), NO peak renormalization,
+    and clipped Gaussian background only. Returns
+    ``(frame_hr, frame_lr, frame_noisy)`` like the reference.
+    """
+    seg = trajectory[: nframes * nposframe].reshape(nframes, nposframe, 2)
+    x_hr = seg[..., 0]
+    y_hr = seg[..., 1]
+    sigma = 2.35 * fwhm_psf / pixelsize
+    grid = npixel * factor_hr
+
+    coords = hr_grid_coords(npixel, factor_hr)
+    gx = jnp.exp(-((coords - x_hr[..., None]) ** 2) / (2.0 * sigma**2))
+    gy = jnp.exp(-((coords - y_hr[..., None]) ** 2) / (2.0 * sigma**2))
+    frame_hr = jnp.einsum(
+        "fps,fpt->fst", flux * gy, gx,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    frame_lr = jnp.mean(
+        frame_hr.reshape(nframes, npixel, factor_hr, npixel, factor_hr), axis=(2, 4)
+    )
+    noise = jax.random.normal(key, frame_lr.shape, jnp.float32) * gaussian_noise
+    frame_noisy = frame_lr + jnp.clip(
+        background + noise, 0.0, background + 3.0 * gaussian_noise
+    )
+    return frame_hr, frame_lr, frame_noisy
+
+
 @functools.partial(jax.jit, static_argnames=("n_pos_per_frame", "field_size", "optics"))
 def render_widefield(
     key: jax.Array,

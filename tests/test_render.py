@@ -190,3 +190,24 @@ def test_gaussian_filter_matches_scipy():
         [scipy_ndimage.gaussian_filter(im, sigma=0.5, mode="nearest") for im in x]
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_generate_images_legacy():
+    from moleculardiffusion_mivit_tpu.sim.render import generate_images_legacy
+
+    key = jax.random.key(0)
+    traj = 2.0 * jax.random.normal(jax.random.key(1), (20, 2))
+    hr, lr, noisy = generate_images_legacy(
+        key, traj, nframes=4, npixel=9, factor_hr=5, nposframe=5,
+        fwhm_psf=2.0, pixelsize=1.0, flux=100.0, background=10.0, gaussian_noise=2.0,
+    )
+    assert hr.shape == (4, 45, 45)
+    assert lr.shape == (4, 9, 9)
+    assert noisy.shape == (4, 9, 9)
+    # lr is the exact block mean of hr
+    np.testing.assert_allclose(
+        np.asarray(lr), np.asarray(hr).reshape(4, 9, 5, 9, 5).mean(axis=(2, 4)), rtol=1e-5
+    )
+    # background within the clip range
+    delta = np.asarray(noisy) - np.asarray(lr)
+    assert delta.min() >= 0.0 and delta.max() <= 16.0 + 1e-5
