@@ -84,6 +84,7 @@ def build(
     sequences_per_d: int = 64,
     val_length: int = 30,
     val_d_values=(1.0, 3.0, 5.0, 7.0),
+    with_in_order: bool = False,
 ) -> Experiment:
     train_cfg = TrainConfig(
         seed=seed,
@@ -187,7 +188,23 @@ def build(
             vdata["labels"] = None
             val_data[d] = vdata
 
-    return Experiment("images_features", train_cfg, optics, arms, generate_fn, val_data)
+    in_order = None
+    if with_in_order and "valTrajsInOrder" in frozen:
+        from moleculardiffusion_mivit_tpu.evaluation import IN_ORDER_D_VALUES
+
+        arr = frozen["valTrajsInOrder"]
+        n_d, n_p_particles = arr.shape[:2]
+        flat = (
+            jnp.asarray(arr, jnp.float32).reshape(n_d * n_p_particles, arr.shape[2], 2)
+            / train_cfg.traj_div_factor
+        )
+        in_order = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
+        in_order["labels"] = None
+        in_order["d_values"] = IN_ORDER_D_VALUES[:n_d]
+
+    return Experiment(
+        "images_features", train_cfg, optics, arms, generate_fn, val_data, in_order
+    )
 
 
 def tta_error_tables(exp: Experiment, data, d_values):

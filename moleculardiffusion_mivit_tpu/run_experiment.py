@@ -29,6 +29,12 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default=None, help="output directory")
     ap.add_argument("--checkpoint-last", type=int, default=5)
     ap.add_argument("--eval-every", type=int, default=1)
+    ap.add_argument(
+        "--in-order",
+        action="store_true",
+        help="build the in-order D sweep for poster-style error tables "
+        "(where the experiment supports it)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -40,7 +46,16 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"), stdout=True)
 
-    exp = get_experiment(args.experiment, seed=args.seed, sequences_per_d=args.seqs_per_d)
+    import inspect
+
+    from moleculardiffusion_mivit_tpu.experiments import REGISTRY
+
+    kwargs = dict(seed=args.seed, sequences_per_d=args.seqs_per_d)
+    if args.in_order and "with_in_order" in inspect.signature(
+        REGISTRY[args.experiment]
+    ).parameters:
+        kwargs["with_in_order"] = True
+    exp = get_experiment(args.experiment, **kwargs)
     n_cycles = args.cycles or exp.train_cfg.num_cycles
 
     logger.log(

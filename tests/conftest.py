@@ -28,6 +28,8 @@ assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() == 8
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of which other tests ran before it
     return np.random.default_rng(1234)
