@@ -141,10 +141,29 @@ class Experiment:
                 return arm_name, arm
         raise KeyError(model_name)
 
+    # Evaluation batches are chunked: a vmapped grid of M models evaluating N
+    # sequences at once holds M×N sequences' worth of activations — the full
+    # PSFNoise grid (30 models × 700 in-order sequences of 30 deep-ResNet
+    # frames) exhausts HBM otherwise.
+    eval_chunk: int = 64
+
     def _grid_predictions(self, arm_name: str, arm: GridArm, data) -> jax.Array:
         _, evaluate = self._fns[arm_name]
         videos, feats, _ = arm.slice_fn(data)
-        return evaluate(self.states[arm_name], videos, feats)
+        n = videos.shape[1]
+        if n <= self.eval_chunk:
+            return evaluate(self.states[arm_name], videos, feats)
+        chunks = []
+        for start in range(0, n, self.eval_chunk):
+            sl = slice(start, min(start + self.eval_chunk, n))
+            chunks.append(
+                evaluate(
+                    self.states[arm_name],
+                    videos[:, sl],
+                    feats[:, sl] if feats is not None else None,
+                )
+            )
+        return jnp.concatenate(chunks, axis=1)
 
     def predict(self, model_name: str, data: Dict[str, Any]) -> jax.Array:
         """Rescaled predictions in physical D units for one model arm."""

@@ -1,0 +1,156 @@
+"""Pallas TPU kernel for the fused PSF-splat renderer.
+
+Computes the same math as ``sim.render.render_frames_core`` — pooled 1-D
+Gaussian outer products with factored peak renormalization — as a single
+Mosaic kernel: per batch tile, the 1-D exponentials run on the VPU, mean
+pooling is a matmul against a constant pooling matrix (MXU), and the frame
+assembly is a ``(S × P) @ (P × S)`` dot per element.
+
+At the reference's frame sizes (S=9..13, u=5, P≤50) XLA's own fusion of the
+lax ops is already excellent, so the XLA path stays the default; this kernel
+exists for (a) larger fields where HBM-intermediate traffic matters and
+(b) as the hand-tuned fallback should the XLA schedule regress. Select with
+``renderer="pallas"`` in ``pallas_render_frames`` callers or benchmark both
+with ``benchmark_renderers``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_B = 8  # batch elements per program (float32 sublane)
+
+
+def _grid_constants(output_size: int, upsampling: int):
+    grid_size = output_size * upsampling
+    limit = (grid_size - 1) // 2
+    coords_np = np.linspace(-float(limit), float(limit), grid_size, dtype=np.float32)
+    # mean pooling as a (grid_size, S) matrix -> MXU matmul
+    pool_np = np.zeros((grid_size, output_size), np.float32)
+    for s in range(output_size):
+        pool_np[s * upsampling : (s + 1) * upsampling, s] = 1.0 / upsampling
+    return coords_np, pool_np
+
+
+def _make_kernel(n_sub: int, output_size: int, upsampling: int):
+    p, s = n_sub, output_size
+
+    def kernel(sigma_ref, coords_ref, pool_ref, x_ref, y_ref, w_ref, out_ref):
+        coords = coords_ref[0, :]
+        pool = pool_ref[:, :]
+        inv2s2 = 1.0 / (2.0 * sigma_ref[0, 0] * sigma_ref[0, 0])
+
+        # NOTE: a fully tile-vectorized variant ((TILE_B·P, G) exponentials +
+        # one pooled matmul + batched dot_general assembly) hits Mosaic's
+        # "unsupported shape cast" on the (TB, P) → (TB·P, 1) relayout, so
+        # the tile is processed per element; each step is still VPU exps +
+        # two MXU dots.
+        def one(b, _):
+            x = x_ref[b, :]  # (P,)
+            y = y_ref[b, :]
+            dx = coords[None, :] - x[:, None]  # (P, G)
+            dy = coords[None, :] - y[:, None]
+            gx = jnp.exp(-dx * dx * inv2s2)
+            gy = jnp.exp(-dy * dy * inv2s2)
+            mx = jnp.max(gx, axis=1)
+            my = jnp.max(gy, axis=1)
+            px = jnp.dot(gx, pool, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # (P, S)
+            py = jnp.dot(gy, pool, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            w = w_ref[b, :] / (mx * my)
+            frame = jnp.dot(
+                (py * w[:, None]).T, px, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (S, S)
+            out_ref[b, :, :] = frame
+            return _
+
+        jax.lax.fori_loop(0, TILE_B, one, None)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_size", "upsampling_factor", "interpret")
+)
+def pallas_render_frames(
+    x_hr: jax.Array,
+    y_hr: jax.Array,
+    intensities: jax.Array,
+    sigma_hr,
+    output_size: int,
+    upsampling_factor: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas equivalent of ``render_frames_core`` for a flat batch.
+
+    x_hr, y_hr, intensities: ``(B, P)``; scalar ``sigma_hr``.
+    Returns frames ``(B, S, S)``.
+    """
+    b, p = x_hr.shape
+    s = output_size
+    padded = ((b + TILE_B - 1) // TILE_B) * TILE_B
+    pad = padded - b
+    if pad:
+        # pad with in-grid dummy spots (weight 0 keeps them out of the output)
+        x_hr = jnp.pad(x_hr, ((0, pad), (0, 0)))
+        y_hr = jnp.pad(y_hr, ((0, pad), (0, 0)))
+        intensities = jnp.pad(intensities, ((0, pad), (0, 0)))
+
+    sigma = jnp.asarray(sigma_hr, jnp.float32).reshape(1, 1)
+    coords_np, pool_np = _grid_constants(s, upsampling_factor)
+    coords = jnp.asarray(coords_np)[None, :]  # (1, G)
+    pool = jnp.asarray(pool_np)  # (G, S)
+    g = coords.shape[1]
+    kernel = _make_kernel(p, s, upsampling_factor)
+    out = pl.pallas_call(
+        kernel,
+        grid=(padded // TILE_B,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_B, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, s, s), jnp.float32),
+        interpret=interpret,
+    )(sigma, coords, pool, x_hr, y_hr, intensities)
+    return out[:b]
+
+
+def benchmark_renderers(batch=1920, n_sub=10, output_size=9, upsampling=5, iters=20):
+    """Time the XLA fused path vs the Pallas kernel on the current device.
+    Returns {"xla_ms": ..., "pallas_ms": ...} steady-state per call."""
+    import time
+
+    from moleculardiffusion_mivit_tpu.sim.render import render_frames_core
+
+    key = jax.random.key(0)
+    x = 4.0 * jax.random.normal(key, (batch, n_sub))
+    y = 4.0 * jax.random.normal(jax.random.fold_in(key, 1), (batch, n_sub))
+    w = 500.0 + jax.random.normal(jax.random.fold_in(key, 2), (batch, n_sub))
+    sigma = 5.96
+
+    def time_fn(fn):
+        fn().block_until_ready()  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    xla_ms = time_fn(lambda: render_frames_core(x, y, w, sigma, output_size, upsampling))
+    pallas_ms = time_fn(
+        lambda: pallas_render_frames(x, y, w, sigma, output_size, upsampling)
+    )
+    return {"xla_ms": xla_ms, "pallas_ms": pallas_ms}

