@@ -192,13 +192,17 @@ class Experiment:
         eval_every: int = 1,
         checkpoint_last: int = 0,
         checkpoint_dir: Optional[str] = None,
+        start_cycle: int = 0,
     ):
+        """Run ``num_cycles`` dataset-refresh cycles starting at
+        ``start_cycle`` (resume support: the cycle index drives the adaptive
+        batch-size and staircase-LR schedules and the per-cycle RNG keys)."""
         if not self._built:
             self.build()
-        num_cycles = num_cycles or self.train_cfg.num_cycles
+        num_cycles = num_cycles if num_cycles is not None else self.train_cfg.num_cycles
         key = jax.random.key(self.train_cfg.seed + 1)
 
-        for cycle in range(num_cycles):
+        for cycle in range(start_cycle, start_cycle + num_cycles):
             k_cycle = jax.random.fold_in(key, cycle)
             k_gen, k_train = jax.random.split(k_cycle)
             data = self.generate_fn(k_gen)
@@ -224,7 +228,11 @@ class Experiment:
                 cycle_avgs = self._evaluate_cycle()
                 if callback:
                     callback(cycle, cycle_avgs)
-            if checkpoint_dir and checkpoint_last and num_cycles - cycle <= checkpoint_last:
+            if (
+                checkpoint_dir
+                and checkpoint_last
+                and (start_cycle + num_cycles) - cycle <= checkpoint_last
+            ):
                 from moleculardiffusion_mivit_tpu.utils.checkpoint import save_experiment
 
                 save_experiment(self, f"{checkpoint_dir}/{self.name}_cycle{cycle}")

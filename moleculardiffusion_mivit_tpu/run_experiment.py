@@ -35,6 +35,13 @@ def main(argv=None):
         help="build the in-order D sweep for poster-style error tables "
         "(where the experiment supports it)",
     )
+    ap.add_argument(
+        "--resume",
+        type=str,
+        default=None,
+        help="checkpoint directory (e.g. <out>/final) to restore and "
+        "continue from; runs the remaining cycles based on saved history",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -74,6 +81,17 @@ def main(argv=None):
     exp.build()
     logger.log("built", seconds=round(time.time() - t0, 1))
 
+    start_cycle = 0
+    if args.resume:
+        from moleculardiffusion_mivit_tpu.utils import restore_experiment
+
+        restore_experiment(exp, args.resume)
+        start_cycle = len(next(iter(exp.history.values()))["val_avg"])
+        n_cycles = max(n_cycles - start_cycle, 0)
+        logger.log(
+            "resumed", checkpoint=args.resume, cycles_done=start_cycle, cycles_left=n_cycles
+        )
+
     t0 = time.time()
     exp.run(
         num_cycles=n_cycles,
@@ -81,6 +99,7 @@ def main(argv=None):
         eval_every=args.eval_every,
         checkpoint_last=args.checkpoint_last,
         checkpoint_dir=out_dir,
+        start_cycle=start_cycle,
     )
     logger.log("trained", seconds=round(time.time() - t0, 1))
 

@@ -134,3 +134,21 @@ def test_experiment_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(exp.states["resnet"].params)[0]
     b = jax.tree.leaves(exp2.states["resnet"].params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_schedule(tmp_path):
+    """Save at cycle k, restore, continue with start_cycle — history grows
+    and the schedule index advances (batch/LR follow the global cycle)."""
+    from moleculardiffusion_mivit_tpu.utils import restore_experiment, save_experiment
+
+    exp = get_experiment("baseline", sequences_per_d=8, val_length=6, try_leaky_relu=False)
+    exp.run(num_cycles=2)
+    save_experiment(exp, str(tmp_path / "ck"))
+
+    exp2 = get_experiment("baseline", sequences_per_d=8, val_length=6, try_leaky_relu=False)
+    exp2.build()
+    restore_experiment(exp2, str(tmp_path / "ck"))
+    done = len(exp2.history["resnet"]["val_avg"])
+    assert done == 2
+    exp2.run(num_cycles=1, start_cycle=done)
+    assert len(exp2.history["resnet"]["val_avg"]) == 3
