@@ -10,7 +10,7 @@ a ``trainSettings*.py`` with ~50 duplicated constant lines plus an
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

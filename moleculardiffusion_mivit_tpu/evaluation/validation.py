@@ -16,7 +16,7 @@ the same error tables / CSV layout as the poster notebooks.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,9 +10,6 @@ mixing (trainModels.py:157-194).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 
 from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig

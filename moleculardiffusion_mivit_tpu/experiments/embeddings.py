@@ -9,8 +9,6 @@ optics, D classes [1,3,5,7]. The reference prints per-model parameter counts
 
 from __future__ import annotations
 
-import jax
-
 from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
 from moleculardiffusion_mivit_tpu.evaluation import (
     load_validation_trajectories,

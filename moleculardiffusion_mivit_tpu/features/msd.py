@@ -7,8 +7,6 @@ dimension is a single masked reduction.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

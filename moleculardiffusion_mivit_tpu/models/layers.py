@@ -20,7 +20,7 @@ right kernel; no flash/blockwise attention is needed.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,6 @@ after every step.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

@@ -10,14 +10,12 @@ sharded optimizer state.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.config import TrainConfig
 from moleculardiffusion_mivit_tpu.train.grid import ModelGrid
 from moleculardiffusion_mivit_tpu.train.loop import _loss, _set_lr, make_optimizer
 

@@ -30,7 +30,7 @@ training step and the reference's host→device copy disappears.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
