@@ -301,7 +301,17 @@ class Experiment:
         assert self.in_order_data is not None, "experiment has no in-order sweep"
         d_values = self.in_order_data["d_values"]
         out = {}
-        for name in self.model_names:
-            preds = self.predict(name, self.in_order_data)
-            out[name] = error_table(jnp.reshape(preds, (len(d_values), -1)), d_values)
+        for arm_name, arm in self.arms.items():
+            if isinstance(arm, GridArm):
+                # one (chunked) grid evaluation covers every member model
+                preds = self._grid_predictions(arm_name, arm, self.in_order_data)
+                for mi, mname in enumerate(arm.names):
+                    out[mname] = error_table(
+                        jnp.reshape(preds[mi], (len(d_values), -1)), d_values
+                    )
+            else:
+                preds = self.predict(arm_name, self.in_order_data)
+                out[arm_name] = error_table(
+                    jnp.reshape(preds, (len(d_values), -1)), d_values
+                )
         return out
