@@ -60,3 +60,70 @@ def test_graft_entry_dryrun():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 1)
+
+
+def test_sharded_step_matches_unsharded():
+    """The pjit'd data x model sharded step must produce the same losses and
+    parameters as the identical step run without sharding annotations —
+    the inserted ICI collectives are numerically transparent."""
+    import optax
+
+    from moleculardiffusion_mivit_tpu.train.loop import _set_lr, make_optimizer
+
+    train_cfg = TrainConfig(
+        sequences_per_d=4, training_ds=((1, 1), (5, 1)), n_frames=6, n_pos_per_frame=5
+    )
+    model = GeneralTransformer(
+        ModelConfig(embed_dim=32, num_heads=4, hidden_dim=64, num_layers=2),
+        embedding="linear",
+    )
+    videos, labels, _ = generate_cycle_data(jax.random.key(0), train_cfg, BASELINE_OPTICS)
+    n_models = 4
+    videos_m = jnp.broadcast_to(videos[None], (n_models,) + videos.shape)
+    labels_m = jnp.broadcast_to(labels[None], (n_models,) + labels.shape)
+
+    init_grid, _, _ = make_grid_train_fns(model, train_cfg)
+    grid0 = init_grid(jax.random.key(1), n_models, videos[:1])
+
+    # sharded step
+    mesh = make_mesh(data=2, model=4)
+    data_shard = NamedSharding(mesh, P("model", "data"))
+    step = make_sharded_grid_step(model, train_cfg, mesh)
+    with mesh:
+        grid_sh, losses_sh = step(
+            shard_grid(grid0, mesh),
+            jax.device_put(videos_m, data_shard),
+            jax.device_put(labels_m, data_shard),
+            jnp.float32(1e-4),
+        )
+
+    # reference: same math on one device
+    tx = make_optimizer(train_cfg)
+
+    def one(params, bstats, opt):
+        def loss_fn(p, bs):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bs} if bs else {"params": p},
+                videos, train=True, mutable=["batch_stats"] if bs else [],
+            )
+            return jnp.mean((out - labels) ** 2), mut.get("batch_stats", bs)
+
+        (loss, bs2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, bstats)
+        opt = _set_lr(opt, jnp.float32(1e-4))
+        updates, opt2 = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), loss
+
+    params_ref, losses_ref = jax.vmap(lambda p, b, o: one(p, b, o))(
+        grid0.params, grid0.batch_stats, grid0.opt_state
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_sh), np.asarray(losses_ref), rtol=1e-5, atol=1e-6
+    )
+    # Adam's first-step update is ±lr·g/(|g|+eps): cross-shard reduction-order
+    # noise (~1e-7) flips the sign of near-zero gradient components, so
+    # parameters can differ by up to ~lr per element. Assert at that scale —
+    # a structural sharding bug (wrong data slice / missing reduction) would
+    # produce O(weight-scale) differences, far above it.
+    lr = 1e-4
+    for a, b in zip(jax.tree.leaves(grid_sh.params), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
