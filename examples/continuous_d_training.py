@@ -1,0 +1,104 @@
+"""Beyond the reference: continuous-D training curriculum.
+
+The reference trains on 4-6 discrete D classes (64 sequences each,
+trainModels.py:33). Because generation is free on device, we can instead
+sample D ~ Uniform(0.1, 8) per sequence every cycle — denser coverage of the
+evaluation range with the same budget — and train the headline MiViT
+(early-fusion GeneralTransformer) directly on it. Evaluated on the same
+frozen in-order sweep/protocol as RESULTS.md.
+
+Run: python examples/continuous_d_training.py [--cycles 150] [--n 256]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.evaluation import (
+    IN_ORDER_D_VALUES,
+    error_table,
+    load_validation_trajectories,
+)
+from moleculardiffusion_mivit_tpu.experiments.images_features import make_dataset
+from moleculardiffusion_mivit_tpu.features import N_FEATURES
+from moleculardiffusion_mivit_tpu.models import GeneralTransformer
+from moleculardiffusion_mivit_tpu.sim.trajectory import brownian_motion
+from moleculardiffusion_mivit_tpu.train import make_train_fns
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cycles", type=int, default=150)
+    ap.add_argument("--n", type=int, default=256, help="sequences per cycle")
+    ap.add_argument("--d-low", type=float, default=0.1)
+    ap.add_argument("--d-high", type=float, default=8.0)
+    args = ap.parse_args()
+
+    train_cfg = TrainConfig(seed=0, adaptive_batch_size=20, initial_batch_size=1)
+    model_cfg = ModelConfig(use_pos_encoding=False)
+    optics = BASELINE_OPTICS
+    p, f = train_cfg.n_pos_per_frame, train_cfg.n_frames
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def generate(key):
+        kd, kt, kdata = jax.random.split(key, 3)
+        d = jax.random.uniform(kd, (args.n,), minval=args.d_low, maxval=args.d_high)
+        # dt = nPosPerFrame so the per-SUB-STEP displacement std is sqrt(2·D),
+        # matching the andi single_state convention used by the experiments
+        # (brownian_motion's sigma is sqrt(2·D·dt/nposframe)).
+        trajs = brownian_motion(kt, args.n, f, p, d, float(p)) / train_cfg.traj_div_factor
+        data = make_dataset(kdata, trajs, train_cfg, optics)
+        labels = (d / train_cfg.d_max_normalization)[:, None]
+        return data["videos"], data["features"], labels
+
+    model = GeneralTransformer(
+        model_cfg,
+        embedding="deep_resnet",
+        use_global_features=True,
+        fusion_type="early",
+        global_feature_dim=N_FEATURES,
+    )
+    init_state, train_cycle, evaluate = make_train_fns(model, train_cfg, with_features=True)
+
+    key = jax.random.key(0)
+    v0, f0, _ = generate(key)
+    state = init_state(jax.random.key(1), v0[:1], f0[:1])
+
+    t0 = time.time()
+    for cycle in range(args.cycles):
+        k = jax.random.fold_in(key, 10 + cycle)
+        videos, feats, labels = generate(k)
+        state, loss = train_cycle(
+            state, videos, labels, feats, jax.random.fold_in(k, 1),
+            jnp.float32(train_cfg.lr_for_cycle(cycle)),
+            train_cfg.batch_size_for_cycle(cycle),
+        )
+        if (cycle + 1) % 25 == 0:
+            print(f"cycle {cycle+1}/{args.cycles} loss {float(loss):.5f}", flush=True)
+    print(f"trained in {time.time()-t0:.0f}s")
+
+    # in-order evaluation, same protocol as RESULTS.md
+    frozen = load_validation_trajectories(length=f)
+    arr = frozen["valTrajsInOrder"]
+    n_d, n_p = arr.shape[:2]
+    flat = jnp.asarray(arr, jnp.float32).reshape(n_d * n_p, -1, 2) / train_cfg.traj_div_factor
+    data = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
+    preds = evaluate(state, data["videos"], data["features"])
+    table = error_table(
+        jnp.reshape(preds[:, 0], (n_d, n_p)), IN_ORDER_D_VALUES[:n_d]
+    )
+    print(
+        f"in-order MiViT (continuous-D curriculum): mse={table['mse']:.4f} "
+        f"std={table['std']:.4f} mae={table['mae']:.4f}"
+    )
+    print("(published 0.570; protocol-matched class training 0.377; 4x scaled 0.338)")
+
+
+if __name__ == "__main__":
+    main()
