@@ -48,9 +48,19 @@ def plot_particle_trajectory(trajectory: np.ndarray, title: str = "Trajectory", 
     return show_plt(fig, show)
 
 
-def play_video(video: np.ndarray, interval_ms: int = 100, cmap: str = "gray", show=False):
+def play_video(
+    video: np.ndarray,
+    interval_ms: int = 100,
+    cmap: str = "gray",
+    show=False,
+    save_path: Optional[str] = None,
+    tracks: Optional[Dict[int, List[Tuple[int, float, float]]]] = None,
+):
     """Animate a (F, H, W) stack (helpersPlot.play_video /
-    helpersTracking.play_video). Returns (fig, animation)."""
+    helpersTracking.play_video), optionally overlaying growing track traces
+    (the reference's animated track player, helpersTracking.py:343-431).
+    ``save_path`` ending in .gif exports via Pillow (no ffmpeg needed).
+    Returns (fig, animation)."""
     plt = _plt()
     from matplotlib import animation
 
@@ -58,13 +68,28 @@ def play_video(video: np.ndarray, interval_ms: int = 100, cmap: str = "gray", sh
     fig, ax = plt.subplots()
     im = ax.imshow(video[0], cmap=cmap)
     ax.axis("off")
+    lines = {}
+    if tracks:
+        colors = plt.get_cmap("tab20")
+        for tid in tracks:
+            (lines[tid],) = ax.plot([], [], "-", color=colors(tid % 20), lw=1)
 
     def update(i):
         im.set_data(video[i])
         ax.set_title(f"frame {i}")
-        return (im,)
+        artists = [im]
+        if tracks:
+            for tid, positions in tracks.items():
+                arr = np.asarray([(x, y) for fr, y, x in positions if fr <= i])
+                if len(arr):
+                    lines[tid].set_data(arr[:, 0], arr[:, 1])
+                artists.append(lines[tid])
+        return tuple(artists)
 
     anim = animation.FuncAnimation(fig, update, frames=len(video), interval=interval_ms)
+    if save_path:
+        writer = "pillow" if save_path.endswith(".gif") else None
+        anim.save(save_path, writer=writer, fps=max(int(1000 / interval_ms), 1))
     show_plt(fig, show)
     return fig, anim
 

@@ -193,3 +193,16 @@ def test_viz_helpers_headless():
     assert viz.plot_particle_trajectory(trajs[0]) is not None
     fig, anim = viz.play_video(movie)
     assert anim is not None
+
+
+def test_play_video_gif_export_with_tracks(tmp_path):
+    from moleculardiffusion_mivit_tpu.realdata import viz
+
+    movie, _ = make_movie(n_frames=4)
+    tracks, _, _ = track_particles(
+        movie, min_distance=5, max_linking_distance=8.0, min_track_length=3
+    )
+    path = str(tmp_path / "anim.gif")
+    fig, anim = viz.play_video(movie, save_path=path, tracks=tracks)
+    import os
+    assert os.path.getsize(path) > 1000
