@@ -7,3 +7,4 @@ from moleculardiffusion_mivit_tpu.evaluation.validation import (  # noqa: F401
     render_validation_videos,
     save_error_table_csv,
 )
+from moleculardiffusion_mivit_tpu.evaluation.changepoint import detect_change_points  # noqa: F401
