@@ -103,7 +103,7 @@ def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = Fal
         state, losses = jax.lax.scan(body, state, perm)
         return state, jnp.mean(losses)
 
-    @functools.partial(jax.jit, static_argnames=("batch_size",))
+    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
     def train_cycle(grid: ModelGrid, videos, labels, features, key, lr, batch_size: int):
         m = videos.shape[0]
         keys = jax.random.split(key, m)

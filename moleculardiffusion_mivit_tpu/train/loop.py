@@ -199,7 +199,9 @@ def make_train_fns(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @functools.partial(jax.jit, static_argnames=("batch_size",))
+    # donate the incoming state so parameter/optimizer buffers update in
+    # place instead of allocating a fresh copy every cycle
+    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
     def train_cycle(state, videos, labels, features, key, lr, batch_size: int):
         n = videos.shape[0]
         steps = n // batch_size
