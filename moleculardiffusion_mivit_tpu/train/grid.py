@@ -41,14 +41,19 @@ class ModelGrid(struct.PyTreeNode):
         return jax.tree.leaves(self.params)[0].shape[0]
 
 
-def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = False):
-    """Build ``(init_grid, train_cycle, evaluate)`` for a vmapped model grid.
+def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
+    """Build UNJITTED ``(init_grid, train_cycle, evaluate)`` for a vmapped grid.
 
     Data layout is model-major: ``videos (M, N, F, S, S)``,
     ``labels (M, N, k)`` (tile shared labels across M). Each model trains on
     its own slice — exactly the reference's ``make_prediction`` dispatch that
     feeds grid cell (psf, noise) to model ``tr_{psf}_{noise}``
     (trainSettingsPSFNoise.py:164-172) — but all models step together.
+
+    The closures are returned unjitted so the single-device path
+    (``make_grid_train_fns``) and the sharded multi-chip path
+    (``parallel.steps``) jit the *same trace* — sharded-matches-unsharded
+    holds by construction, modulo cross-shard reduction order.
     """
     tx = make_optimizer(train_cfg)
 
@@ -103,7 +108,6 @@ def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = Fal
         state, losses = jax.lax.scan(body, state, perm)
         return state, jnp.mean(losses)
 
-    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
     def train_cycle(grid: ModelGrid, videos, labels, features, key, lr, batch_size: int):
         m = videos.shape[0]
         keys = jax.random.split(key, m)
@@ -119,7 +123,6 @@ def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = Fal
         )(grid.params, grid.batch_stats, grid.opt_state, videos, labels, in_feats, keys)
         return ModelGrid(params, bstats, opt), losses
 
-    @jax.jit
     def evaluate(grid: ModelGrid, videos, features=None):
         """videos (M, N, F, S, S) → rescaled predictions (M, N, ...)."""
 
@@ -136,3 +139,16 @@ def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = Fal
         return out * train_cfg.d_max_normalization
 
     return init_grid, train_cycle, evaluate
+
+
+def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = False):
+    """Single-device jitted ``(init_grid, train_cycle, evaluate)`` closures.
+
+    See ``make_grid_impls`` for semantics; ``parallel.steps`` provides the
+    multi-chip (pjit over a data × model mesh) jit of the same impls.
+    """
+    init_grid, train_cycle, evaluate = make_grid_impls(model, train_cfg, with_features)
+    train_cycle = jax.jit(
+        train_cycle, static_argnames=("batch_size",), donate_argnums=(0,)
+    )
+    return init_grid, train_cycle, jax.jit(evaluate)

@@ -1,3 +1,7 @@
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,11 +11,22 @@ from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, Tr
 from moleculardiffusion_mivit_tpu.models import GeneralTransformer
 from moleculardiffusion_mivit_tpu.parallel import (
     make_mesh,
-    make_sharded_grid_step,
+    make_sharded_cycle_program,
+    make_sharded_grid_fns,
     shard_grid,
 )
 from moleculardiffusion_mivit_tpu.train import make_grid_train_fns
 from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SMALL_CFG = dict(embed_dim=32, num_heads=4, hidden_dim=64, num_layers=2)
+
+
+def _small_train_cfg(n_per_d=4):
+    return TrainConfig(
+        sequences_per_d=n_per_d, training_ds=((1, 1), (5, 1)), n_frames=6, n_pos_per_frame=5
+    )
 
 
 def test_mesh_construction():
@@ -19,15 +34,10 @@ def test_mesh_construction():
     assert mesh.shape == {"data": 2, "model": 4}
 
 
-def test_sharded_grid_step_runs_and_is_sharded():
+def test_sharded_cycle_runs_and_stays_sharded():
     mesh = make_mesh(data=2, model=4)
-    train_cfg = TrainConfig(
-        sequences_per_d=4, training_ds=((1, 1), (5, 1)), n_frames=6, n_pos_per_frame=5
-    )
-    model = GeneralTransformer(
-        ModelConfig(embed_dim=32, num_heads=4, hidden_dim=64, num_layers=2),
-        embedding="linear",
-    )
+    train_cfg = _small_train_cfg()
+    model = GeneralTransformer(ModelConfig(**SMALL_CFG), embedding="linear")
     videos, labels, _ = generate_cycle_data(jax.random.key(0), train_cfg, BASELINE_OPTICS)
     n_models = 8
     videos_m = jnp.broadcast_to(videos[None], (n_models,) + videos.shape)
@@ -36,21 +46,26 @@ def test_sharded_grid_step_runs_and_is_sharded():
     videos_m = jax.device_put(videos_m, data_shard)
     labels_m = jax.device_put(labels_m, data_shard)
 
-    init_grid, _, _ = make_grid_train_fns(model, train_cfg)
+    init_grid, train_cycle, evaluate = make_sharded_grid_fns(model, train_cfg, mesh)
     grid = shard_grid(init_grid(jax.random.key(1), n_models, videos[:1]), mesh)
 
-    step = make_sharded_grid_step(model, train_cfg, mesh)
     with mesh:
-        grid2, losses = step(grid, videos_m, labels_m, jnp.float32(1e-4))
-        grid3, losses2 = step(grid2, videos_m, labels_m, jnp.float32(1e-4))
+        grid2, losses = train_cycle(
+            grid, videos_m, labels_m, None, jax.random.key(2), jnp.float32(1e-4), 4
+        )
+        grid3, losses2 = train_cycle(
+            grid2, videos_m, labels_m, None, jax.random.key(2), jnp.float32(1e-4), 4
+        )
+        preds = evaluate(grid3, videos_m)
     assert losses.shape == (n_models,)
     assert np.isfinite(np.asarray(losses)).all()
-    # loss decreases for most models after one step on the same batch
+    # loss decreases for most models after one epoch on the same batch
     improved = (np.asarray(losses2) < np.asarray(losses)).mean()
     assert improved >= 0.5
-    # params stayed sharded over the model axis
-    leaf = jax.tree.leaves(grid2.params)[0]
-    assert len(leaf.sharding.device_set) == 8 or leaf.sharding.is_fully_replicated is False
+    # params stayed sharded over the model axis; eval output born sharded
+    leaf = jax.tree.leaves(grid3.params)[0]
+    assert not leaf.sharding.is_fully_replicated
+    assert not preds.sharding.is_fully_replicated
 
 
 def test_graft_entry_dryrun():
@@ -62,68 +77,147 @@ def test_graft_entry_dryrun():
     assert out.shape == (8, 1)
 
 
-def test_sharded_step_matches_unsharded():
-    """The pjit'd data x model sharded step must produce the same losses and
-    parameters as the identical step run without sharding annotations —
-    the inserted ICI collectives are numerically transparent."""
-    import optax
-
-    from moleculardiffusion_mivit_tpu.train.loop import _set_lr, make_optimizer
-
-    train_cfg = TrainConfig(
-        sequences_per_d=4, training_ds=((1, 1), (5, 1)), n_frames=6, n_pos_per_frame=5
+def test_dryrun_bootstrap_subprocess():
+    """Mirror the driver verbatim: a fresh process with no XLA_FLAGS calls
+    dryrun_multichip(8) directly; the function must provision its own
+    virtual 8-device CPU mesh."""
+    env = os.environ.copy()
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=REPO_ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
     )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "dryrun_multichip OK" in r.stdout
+
+
+def _unsharded_reference_cycle(model, train_cfg, grid0, videos_m, labels_m, feats_m, key, bs):
+    init_grid, train_cycle, evaluate = make_grid_train_fns(
+        model, train_cfg, with_features=feats_m is not None
+    )
+    grid_ref, losses_ref = train_cycle(
+        jax.tree.map(jnp.copy, grid0), videos_m, labels_m, feats_m, key, jnp.float32(1e-4), bs
+    )
+    return grid_ref, losses_ref
+
+
+def test_sharded_matches_unsharded_early_fusion():
+    """The flagship ImagesFeatures arm — early-fusion MiViT with dropout —
+    trains identically (same permutations, dropout draws, AdamW math) on the
+    8-device mesh and on one device; the inserted ICI collectives are
+    numerically transparent."""
+    train_cfg = _small_train_cfg()
     model = GeneralTransformer(
-        ModelConfig(embed_dim=32, num_heads=4, hidden_dim=64, num_layers=2),
+        ModelConfig(dropout=0.1, **SMALL_CFG),
         embedding="linear",
+        use_global_features=True,
+        fusion_type="early",
     )
-    videos, labels, _ = generate_cycle_data(jax.random.key(0), train_cfg, BASELINE_OPTICS)
+    videos, labels, feats = generate_cycle_data(
+        jax.random.key(0), train_cfg, BASELINE_OPTICS, True
+    )
     n_models = 4
     videos_m = jnp.broadcast_to(videos[None], (n_models,) + videos.shape)
     labels_m = jnp.broadcast_to(labels[None], (n_models,) + labels.shape)
+    feats_m = jnp.broadcast_to(feats[None], (n_models,) + feats.shape)
 
-    init_grid, _, _ = make_grid_train_fns(model, train_cfg)
-    grid0 = init_grid(jax.random.key(1), n_models, videos[:1])
+    init_grid, _, _ = make_grid_train_fns(model, train_cfg, with_features=True)
+    grid0 = init_grid(jax.random.key(1), n_models, videos[:1], feats[:1])
+    key, bs = jax.random.key(7), 4
 
-    # sharded step
     mesh = make_mesh(data=2, model=4)
     data_shard = NamedSharding(mesh, P("model", "data"))
-    step = make_sharded_grid_step(model, train_cfg, mesh)
+    _, sh_cycle, sh_eval = make_sharded_grid_fns(model, train_cfg, mesh, with_features=True)
     with mesh:
-        grid_sh, losses_sh = step(
-            shard_grid(grid0, mesh),
+        grid_sh, losses_sh = sh_cycle(
+            shard_grid(jax.tree.map(jnp.copy, grid0), mesh),
             jax.device_put(videos_m, data_shard),
             jax.device_put(labels_m, data_shard),
+            jax.device_put(feats_m, data_shard),
+            key,
             jnp.float32(1e-4),
+            bs,
         )
+        preds_sh = sh_eval(grid_sh, jax.device_put(videos_m, data_shard),
+                           jax.device_put(feats_m, data_shard))
 
-    # reference: same math on one device
-    tx = make_optimizer(train_cfg)
-
-    def one(params, bstats, opt):
-        def loss_fn(p, bs):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": bs} if bs else {"params": p},
-                videos, train=True, mutable=["batch_stats"] if bs else [],
-            )
-            return jnp.mean((out - labels) ** 2), mut.get("batch_stats", bs)
-
-        (loss, bs2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, bstats)
-        opt = _set_lr(opt, jnp.float32(1e-4))
-        updates, opt2 = tx.update(grads, opt, params)
-        return optax.apply_updates(params, updates), loss
-
-    params_ref, losses_ref = jax.vmap(lambda p, b, o: one(p, b, o))(
-        grid0.params, grid0.batch_stats, grid0.opt_state
+    grid_ref, losses_ref = _unsharded_reference_cycle(
+        model, train_cfg, grid0, videos_m, labels_m, feats_m, key, bs
     )
     np.testing.assert_allclose(
         np.asarray(losses_sh), np.asarray(losses_ref), rtol=1e-5, atol=1e-6
     )
-    # Adam's first-step update is ±lr·g/(|g|+eps): cross-shard reduction-order
-    # noise (~1e-7) flips the sign of near-zero gradient components, so
-    # parameters can differ by up to ~lr per element. Assert at that scale —
-    # a structural sharding bug (wrong data slice / missing reduction) would
-    # produce O(weight-scale) differences, far above it.
+    # Adam's early updates are ±lr·g/(|g|+eps): cross-shard reduction-order
+    # noise can flip the sign of near-zero gradient components, so parameters
+    # may differ by O(lr) per element. A structural sharding bug (wrong data
+    # slice / missing reduction / wrong dropout rng) produces O(weight-scale)
+    # differences, far above this tolerance.
     lr = 1e-4
-    for a, b in zip(jax.tree.leaves(grid_sh.params), jax.tree.leaves(params_ref)):
+    for a, b in zip(jax.tree.leaves(grid_sh.params), jax.tree.leaves(grid_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
+
+    _, _, ev_ref = make_grid_train_fns(model, train_cfg, with_features=True)
+    preds_ref = ev_ref(grid_ref, videos_m, feats_m)
+    np.testing.assert_allclose(
+        np.asarray(preds_sh), np.asarray(preds_ref), rtol=1e-4, atol=2e-3
+    )
+
+
+def test_fused_generation_program_born_sharded():
+    """One compiled program: key → trajectories → frames → features → epoch.
+    Data is generated inside the jit with per-model keys and never leaves the
+    device; results match generating the same data outside and training with
+    the sharded cycle."""
+    train_cfg = _small_train_cfg()
+    model = GeneralTransformer(
+        ModelConfig(dropout=0.1, **SMALL_CFG),
+        embedding="linear",
+        use_global_features=True,
+        fusion_type="early",
+    )
+    mesh = make_mesh(data=2, model=4)
+    n_models = 4
+
+    def data_fn(key):
+        keys = jax.random.split(key, n_models)
+        return jax.vmap(
+            lambda k: generate_cycle_data(k, train_cfg, BASELINE_OPTICS, True)
+        )(keys)
+
+    videos, _, feats = generate_cycle_data(jax.random.key(0), train_cfg, BASELINE_OPTICS, True)
+    init_grid, _, _ = make_grid_train_fns(model, train_cfg, with_features=True)
+    grid0 = init_grid(jax.random.key(1), n_models, videos[:1], feats[:1])
+
+    cycle = make_sharded_cycle_program(model, train_cfg, mesh, data_fn, with_features=True)
+    with mesh:
+        grid_fused, losses_fused = cycle(
+            shard_grid(jax.tree.map(jnp.copy, grid0), mesh),
+            jax.random.key(9),
+            jnp.float32(1e-4),
+            4,
+        )
+    assert losses_fused.shape == (n_models,)
+    assert np.isfinite(np.asarray(losses_fused)).all()
+    leaf = jax.tree.leaves(grid_fused.params)[0]
+    assert not leaf.sharding.is_fully_replicated
+
+    # reference: generate the identical data outside the program, train with
+    # the (already validated) sharded cycle using the same train key split
+    k_gen, k_train = jax.random.split(jax.random.key(9))
+    videos_m, labels_m, feats_m = data_fn(k_gen)
+    _, sh_cycle, _ = make_sharded_grid_fns(model, train_cfg, mesh, with_features=True)
+    with mesh:
+        grid_ref, losses_ref = sh_cycle(
+            shard_grid(jax.tree.map(jnp.copy, grid0), mesh),
+            videos_m, labels_m, feats_m, k_train, jnp.float32(1e-4), 4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(losses_fused), np.asarray(losses_ref), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(grid_fused.params), jax.tree.leaves(grid_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
