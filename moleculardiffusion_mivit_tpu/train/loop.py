@@ -163,12 +163,14 @@ def _loss(pred, y, kind: str):
     return jnp.mean((pred - y) ** 2)
 
 
-def make_train_fns(
+def make_train_impls(
     model,
     train_cfg: TrainConfig,
     with_features: bool = False,
 ):
-    """Build ``(init_state, train_cycle, evaluate)`` closures for one model.
+    """UNJITTED ``(init_state, train_cycle, evaluate)`` closures for one model
+    — jitted per-model by ``make_train_fns``, or traced into larger fused
+    programs (``train.multi``, ``parallel.steps``).
 
     ``train_cycle(state, videos, labels, features, key, lr, batch_size)``
     runs one epoch (shuffled, scan over minibatches) and returns
@@ -199,9 +201,6 @@ def make_train_fns(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    # donate the incoming state so parameter/optimizer buffers update in
-    # place instead of allocating a fresh copy every cycle
-    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
     def train_cycle(state, videos, labels, features, key, lr, batch_size: int):
         n = videos.shape[0]
         steps = n // batch_size
@@ -225,7 +224,6 @@ def make_train_fns(
         state, losses = jax.lax.scan(body, state, perm)
         return state, jnp.mean(losses)
 
-    @jax.jit
     def evaluate(state, videos, features=None):
         variables = {"params": state.params}
         if state.batch_stats:
@@ -235,6 +233,21 @@ def make_train_fns(
         return out * train_cfg.d_max_normalization
 
     return init_state, train_cycle, evaluate
+
+
+def make_train_fns(
+    model,
+    train_cfg: TrainConfig,
+    with_features: bool = False,
+):
+    """Single-device jitted ``(init_state, train_cycle, evaluate)``; see
+    ``make_train_impls``. The incoming state is donated so parameter/
+    optimizer buffers update in place instead of reallocating every cycle."""
+    init_state, train_cycle, evaluate = make_train_impls(model, train_cfg, with_features)
+    train_cycle = jax.jit(
+        train_cycle, static_argnames=("batch_size",), donate_argnums=(0,)
+    )
+    return init_state, train_cycle, jax.jit(evaluate)
 
 
 def run_training(
