@@ -21,7 +21,7 @@ host CPU with global numpy RNG and copies to the accelerator every batch).
 from __future__ import annotations
 
 import functools
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ def brownian_motion(
     D: Union[float, jax.Array],
     dt: float,
     start_at_zero: bool = False,
+    drift: Optional[Union[Tuple[float, float], jax.Array]] = None,
 ) -> jax.Array:
     """Brownian random walk with per-step sigma ``sqrt(2*D*dt/nposframe)``.
 
@@ -43,6 +44,11 @@ def brownian_motion(
     ``start_at_zero``, which zeroes the first step as the reference does).
 
     ``D`` may be a scalar or a per-particle array of shape ``(nparticles,)``.
+    ``drift`` is an optional constant velocity ``(vx, vy)`` in trajectory
+    units per unit time (per-particle ``(nparticles, 2)`` also accepted) —
+    each sub-step adds ``drift * dt / nposframe``, the directional-motion
+    variant the reference explores in
+    tests/Simulator_tests/AnDi-Directional_Tests.ipynb.
 
     Returns ``(nparticles, nframes*nposframe, 2)`` float32 positions.
     """
@@ -52,6 +58,9 @@ def brownian_motion(
     steps = jax.random.normal(key, (nparticles, num_steps, 2), jnp.float32) * sigma
     if start_at_zero:
         steps = steps.at[:, 0, :].set(0.0)
+    if drift is not None:
+        v = jnp.broadcast_to(jnp.asarray(drift, jnp.float32), (nparticles, 2))
+        steps = steps + v[:, None, :] * (dt / nposframe)
     return jnp.cumsum(steps, axis=1)
 
 
@@ -155,7 +164,7 @@ def fbm_trajectories(
 
 
 @functools.partial(jax.jit, static_argnames=("n", "t", "pure_brownian"))
-def _single_state_impl(key, n, t, d_mean, d_sigma, a_mean, a_sigma, pure_brownian):
+def _single_state_impl(key, n, t, d_mean, d_sigma, a_mean, a_sigma, pure_brownian, drift):
     kd, ka, kt = jax.random.split(key, 3)
     ds = _truncated_normal_at_zero(kd, d_mean, d_sigma, (n,))
     alphas = jnp.clip(_truncated_normal_at_zero(ka, a_mean, a_sigma, (n,)), 0.0, 2.0)
@@ -165,6 +174,10 @@ def _single_state_impl(key, n, t, d_mean, d_sigma, a_mean, a_sigma, pure_brownia
         trajs = jnp.cumsum(steps, axis=1)
     else:
         trajs = fbm_trajectories(kt, n, t, alphas, ds)
+    # constant-velocity drift: position at step i (time i+1, no prepended
+    # origin) advances by drift*(i+1)
+    times = jnp.arange(1, t + 1, dtype=jnp.float32)
+    trajs = trajs + drift[None, None, :] * times[None, :, None]
     labels = jnp.stack(
         [
             jnp.broadcast_to(alphas[:, None], (n, t)),
@@ -182,6 +195,7 @@ def single_state(
     T: int,
     Ds: Union[float, Tuple[float, float]],
     alphas: Union[float, Tuple[float, float]] = 1.0,
+    drift: Optional[Tuple[float, float]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """TPU-native equivalent of ``models_phenom().single_state``.
 
@@ -191,6 +205,10 @@ def single_state(
     steps); otherwise displacements are fGn with Hurst α/2. Labels are
     ``(alpha, D, state)`` per timestep, as the andi simulator returns
     (see tests/Simulator_tests/AnDi-Tests.ipynb cell 2 in the reference).
+
+    ``drift`` adds an optional constant velocity ``(vx, vy)`` in trajectory
+    units per step — the directional-motion variant the reference explores
+    in tests/Simulator_tests/AnDi-Directional_Tests.ipynb.
 
     Returns ``trajs (N, T, 2)``, ``labels (N, T, 3)`` — note: already in the
     particle-major layout the reference obtains by transposing
@@ -202,6 +220,7 @@ def single_state(
     d_mean, d_sigma = _pair(Ds)
     a_mean, a_sigma = _pair(alphas)
     pure_brownian = float(a_mean) == 1.0 and float(a_sigma) == 0.0
+    drift_vec = jnp.zeros(2, jnp.float32) if drift is None else jnp.asarray(drift, jnp.float32)
     return _single_state_impl(
         key,
         N,
@@ -211,4 +230,5 @@ def single_state(
         jnp.float32(a_mean),
         jnp.float32(a_sigma),
         pure_brownian,
+        drift_vec,
     )

@@ -91,3 +91,24 @@ def test_fbm_subdiffusive_msd_exponent():
     msd = [((trajs[:, lag:] - trajs[:, :-lag]) ** 2).sum(-1).mean() for lag in lags]
     slope = np.polyfit(np.log(lags), np.log(msd), 1)[0]
     assert abs(slope - alpha) < 0.08
+
+
+def test_drift_loop_closure():
+    """Drifting trajectories (AnDi-Directional_Tests.ipynb analog): the mean
+    step recovers the drift velocity, and MSD of drift-subtracted steps
+    recovers D."""
+    from moleculardiffusion_mivit_tpu.sim import brownian_motion, single_state
+
+    trajs, labels = single_state(jax.random.key(10), 200, 300, Ds=(2.0, 0.0), drift=(0.5, -0.3))
+    disp = np.diff(np.asarray(trajs), axis=1)
+    v = disp.mean(axis=(0, 1))
+    np.testing.assert_allclose(v, [0.5, -0.3], atol=0.03)
+    d_est = ((disp - v) ** 2).sum(-1).mean() / 4.0
+    assert abs(d_est - 2.0) < 0.1
+    # labels unaffected by drift
+    np.testing.assert_allclose(np.asarray(labels[:, :, 1]), 2.0)
+
+    # brownian_motion drift is per unit time: dt=2, nposframe=4 → per-step v*dt/npos
+    bm = np.asarray(brownian_motion(jax.random.key(11), 128, 10, 4, 1.0, dt=2.0, drift=(1.0, 0.0)))
+    step_mean = np.diff(bm, axis=1).mean(axis=(0, 1))
+    np.testing.assert_allclose(step_mean, [1.0 * 2.0 / 4.0, 0.0], atol=0.05)
