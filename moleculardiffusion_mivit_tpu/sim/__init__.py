@@ -15,6 +15,7 @@ from moleculardiffusion_mivit_tpu.sim.render import (  # noqa: F401
     render_widefield,
 )
 from moleculardiffusion_mivit_tpu.sim.constrained import (  # noqa: F401
+    Edge,
     PiecewiseLinearGeometry,
     disp_fbm,
     reflected_rectangle_trajectories,

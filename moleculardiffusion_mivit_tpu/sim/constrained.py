@@ -38,12 +38,47 @@ def disp_fbm(
     return disp * jnp.sqrt(2.0 * D * delta_t)
 
 
+class Edge:
+    """One line segment of the skeleton (mitochnodria.py:37-123).
+
+    Exposes the reference Edge's query surface — ``length``, ``angle``,
+    ``start_point`` / ``end_point``, ``get_position_at_distance`` (clamped
+    lerp), ``distance_to_end`` (projection onto the edge direction) — so
+    edge-list-defined geometries port over directly.
+    """
+
+    def __init__(self, start_point: Tuple[float, float], end_point: Tuple[float, float]):
+        self.start_point = np.asarray(start_point, np.float32)
+        self.end_point = np.asarray(end_point, np.float32)
+        self.vector = self.end_point - self.start_point
+        self.length = float(np.linalg.norm(self.vector))
+        if self.length <= 0:
+            raise ValueError("zero-length edge")
+        self.angle = float(np.arctan2(self.vector[1], self.vector[0]))
+
+    def get_position_at_distance(self, distance: float) -> np.ndarray:
+        d = min(max(float(distance), 0.0), self.length)
+        return self.start_point + (d / self.length) * self.vector
+
+    def distance_to_end(self, current_position) -> float:
+        to_end = self.end_point - np.asarray(current_position, np.float32)
+        return max(0.0, float(np.dot(to_end, self.vector / self.length)))
+
+    def __repr__(self):
+        return (
+            f"Edge(start={tuple(self.start_point)}, end={tuple(self.end_point)}, "
+            f"length={self.length:.2f})"
+        )
+
+
 class PiecewiseLinearGeometry:
     """A connected piecewise-linear path (the mitochondria skeleton).
 
-    Construct from vertices ``[(x0, y0), (x1, y1), ...]``; consecutive
-    vertices define connected edges (the reference validates connectivity,
-    mitochnodria.py:151-176).
+    Construct from vertices ``[(x0, y0), (x1, y1), ...]`` — consecutive
+    vertices define connected edges — or from an explicit edge list via
+    ``from_edges`` with the reference's connectivity validation
+    (mitochnodria.py:151-176: end point of edge ``i`` must equal the start
+    point of edge ``i+1``, else ValueError).
     """
 
     def __init__(self, vertices: Sequence[Tuple[float, float]]):
@@ -57,10 +92,68 @@ class PiecewiseLinearGeometry:
             raise ValueError("zero-length edge")
         self.cum_lengths = np.concatenate([[0.0], np.cumsum(self.lengths)]).astype(np.float32)
         self.total_length = float(self.cum_lengths[-1])
+        self.edges = [Edge(v[i], v[i + 1]) for i in range(len(v) - 1)]
+
+    @classmethod
+    def from_edges(cls, edges: Sequence) -> "PiecewiseLinearGeometry":
+        """Build from a connected edge list (``Edge`` objects or
+        ``((x0, y0), (x1, y1))`` pairs), validating connectivity exactly as
+        the reference Geometry does (mitochnodria.py:151-176)."""
+        if not edges:
+            raise ValueError("need at least one edge")
+        es = [e if isinstance(e, Edge) else Edge(*e) for e in edges]
+        for i in range(len(es) - 1):
+            if not np.allclose(es[i].end_point, es[i + 1].start_point):
+                raise ValueError(
+                    f"Edges don't connect properly at index {i}. "
+                    f"End point of edge {i}: {tuple(es[i].end_point)}, "
+                    f"Start point of edge {i + 1}: {tuple(es[i + 1].start_point)}"
+                )
+        vertices = [es[0].start_point] + [e.end_point for e in es]
+        return cls(vertices)
 
     @property
     def n_edges(self) -> int:
         return len(self.lengths)
+
+    @property
+    def bounding_box(self) -> Tuple[float, float, float, float]:
+        """(min_x, max_x, min_y, max_y) over all vertices
+        (mitochnodria.py:178-201)."""
+        return (
+            float(self.vertices[:, 0].min()),
+            float(self.vertices[:, 0].max()),
+            float(self.vertices[:, 1].min()),
+            float(self.vertices[:, 1].max()),
+        )
+
+    def get_edge_at_length(self, distance: float):
+        """(edge, remaining distance along it) at an arclength from the
+        start; (None, 0.0) outside [0, total_length]
+        (mitochnodria.py:231-264)."""
+        if distance < 0 or distance > self.total_length:
+            return None, 0.0
+        idx = int(np.clip(np.searchsorted(self.cum_lengths, distance, side="right") - 1,
+                          0, self.n_edges - 1))
+        return self.edges[idx], float(distance - self.cum_lengths[idx])
+
+    def draw(self, ax=None, edge_color="blue", vertex_color="red", show_vertices=False):
+        """Plot the skeleton (mitochnodria.py:267-327)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=(8, 6))
+        for e in self.edges:
+            ax.plot(
+                [e.start_point[0], e.end_point[0]],
+                [e.start_point[1], e.end_point[1]],
+                color=edge_color,
+                linewidth=1.5,
+            )
+        if show_vertices:
+            ax.scatter(self.vertices[:, 0], self.vertices[:, 1], color=vertex_color, zorder=10)
+        ax.set_aspect("equal")
+        return ax
 
     def position_at_distance(self, distance) -> jax.Array:
         """Vectorized 1-D arclength → 2-D position (lerp on the owning edge);
@@ -100,9 +193,50 @@ class PiecewiseLinearGeometry:
         delta_t: float = 1.0,
         initial_distance: float = 0.0,
     ) -> jax.Array:
-        """fBm along the geometry: ``(n_particles, T, 2)`` positions."""
-        disp = disp_fbm(key, alpha, D, T, delta_t, n_particles)
-        return self.map_displacements(disp, initial_distance)
+        """fBm along the geometry: ``(n_particles, T, 2)`` positions.
+
+        One jitted program (fGn → clamped arclength walk → edge lerp): the
+        axon TPU tunnel mis-executes the eager op-by-op complex-FFT chain,
+        and a single fused executable is also what the training pipeline
+        wants anyway.
+        """
+        return _simulate_on_path(
+            key,
+            jnp.asarray(self.vertices),
+            jnp.asarray(self.lengths),
+            jnp.asarray(self.cum_lengths),
+            n_particles,
+            T,
+            jnp.float32(D),
+            jnp.float32(alpha),
+            jnp.float32(delta_t),
+            jnp.float32(initial_distance),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_particles", "T"))
+def _simulate_on_path(
+    key, vertices, lengths, cum_lengths, n_particles, T, D, alpha, delta_t, initial_distance
+):
+    total_length = cum_lengths[-1]
+    disp = fractional_gaussian_noise(key, alpha / 2.0, T, n_particles) * jnp.sqrt(
+        2.0 * D * delta_t
+    )
+    start = jnp.clip(initial_distance, 0.0, total_length)
+
+    def step(carry, d):
+        new = jnp.clip(carry + d, 0.0, total_length)
+        return new, new
+
+    def walk(one):
+        _, dists = jax.lax.scan(step, start, one)
+        return dists
+
+    dists = jax.vmap(walk)(disp)  # (B, T)
+    n_edges = lengths.shape[0]
+    edge = jnp.clip(jnp.searchsorted(cum_lengths, dists, side="right") - 1, 0, n_edges - 1)
+    t = (dists - cum_lengths[edge]) / lengths[edge]
+    return vertices[edge] + t[..., None] * (vertices[edge + 1] - vertices[edge])
 
 
 def _reflect_into(x, low, high):
