@@ -8,6 +8,7 @@
 | embeddings      | Experiments/Embeddings/                  | 3 emb × 3 sizes + resnet |
 | images_features | Experiments/ImagesFeatures/ (poster)     | 6 learned + 3 MSD arms |
 | denoising       | Experiments/Denoising/                   | 7 settings × 2, L1 loss |
+| modular         | models.py:366-593 (built, never trained)  | 3 ModularTransformer fusion arms |
 """
 
 from moleculardiffusion_mivit_tpu.experiments import (  # noqa: F401
@@ -16,6 +17,7 @@ from moleculardiffusion_mivit_tpu.experiments import (  # noqa: F401
     embeddings,
     framerate,
     images_features,
+    modular,
     psfnoise,
 )
 from moleculardiffusion_mivit_tpu.experiments.base import (  # noqa: F401
@@ -32,6 +34,7 @@ REGISTRY = {
     "embeddings": embeddings.build,
     "images_features": images_features.build,
     "denoising": denoising.build,
+    "modular": modular.build,
 }
 
 

@@ -1,0 +1,118 @@
+"""ModularTransformer training regime — exercising the model the reference
+built but never trained (helpers/models.py:366-593; no committed training
+script uses it).
+
+Three arms share one generated dataset (videos + per-frame kinematic feature
+tokens of the frame-averaged trajectory, ``features.compute_per_frame_features``):
+
+- ``mod_images``: mode="images_only" — sanity arm, architecturally the
+  image-only transformer;
+- ``mod_both_add``: mode="both", per-frame feature tokens embedded by a
+  2-layer MLP and ADDED to the image tokens (models.py:452-455 analog);
+- ``mod_both_concat``: mode="both", fusion_method="concat_proj" — concat +
+  learned projection back to embed_dim (models.py:427-439).
+
+Protocol mirrors the short Denoising regime: 10 cycles by default, standard
+optics/Ds, eval on the frozen val sets at D ∈ {1, 3, 5, 7}.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.evaluation import load_validation_trajectories
+from moleculardiffusion_mivit_tpu.experiments.base import Experiment, ModelEntry
+from moleculardiffusion_mivit_tpu.features import (
+    N_PER_FRAME_FEATURES,
+    compute_per_frame_features,
+)
+from moleculardiffusion_mivit_tpu.models import ModularTransformer
+from moleculardiffusion_mivit_tpu.sim import normalize_images, single_state, trajectories_to_video
+from moleculardiffusion_mivit_tpu.sim.trajectory import average_trajectories_frames
+
+
+def make_dataset(key, trajs, train_cfg, optics):
+    """Videos + per-frame feature tokens for one batch of trajectories."""
+    p = train_cfg.n_pos_per_frame
+    bg_mean, bg_sigma = optics.background_intensity
+    part_mean = optics.particle_intensity[0]
+    videos = trajectories_to_video(key, trajs, p, train_cfg.center, optics)
+    videos, _ = normalize_images(videos, bg_mean, bg_sigma, part_mean + bg_mean)
+    pf = compute_per_frame_features(average_trajectories_frames(trajs, p))
+    return {"videos": videos, "pf_features": pf}
+
+
+def build(
+    seed: int = 0,
+    sequences_per_d: int = 64,
+    val_length: int = 30,
+    val_d_values=(1.0, 3.0, 5.0, 7.0),
+    num_cycles: int = 10,
+) -> Experiment:
+    train_cfg = TrainConfig(
+        seed=seed,
+        sequences_per_d=sequences_per_d,
+        training_ds=((1, 1), (3, 1), (5, 1), (7, 1)),
+        n_frames=val_length,
+        num_cycles=num_cycles,
+    )
+    model_cfg = ModelConfig(use_pos_encoding=False)
+    optics = BASELINE_OPTICS
+
+    def im_slice(data):
+        return data["videos"], None, data["labels"]
+
+    def both_slice(data):
+        return data["videos"], data["pf_features"], data["labels"]
+
+    def modular(mode, fusion):
+        return ModularTransformer(
+            model_cfg,
+            mode=mode,
+            image_embedding="deep_resnet",
+            features_dim=N_PER_FRAME_FEATURES,
+            feature_embedding_type="mlp",
+            fusion_method=fusion,
+        )
+
+    arms = {
+        "mod_images": ModelEntry(model=modular("images_only", "add"), slice_fn=im_slice),
+        "mod_both_add": ModelEntry(
+            model=modular("both", "add"), slice_fn=both_slice, with_features=True
+        ),
+        "mod_both_concat": ModelEntry(
+            model=modular("both", "concat_proj"), slice_fn=both_slice, with_features=True
+        ),
+    }
+
+    p = train_cfg.n_pos_per_frame
+    t = train_cfg.n_frames * p
+
+    def generate_fn(key):
+        all_data, all_labels = [], []
+        for i, ds in enumerate(train_cfg.training_ds):
+            k_sim, k_data = jax.random.split(jax.random.fold_in(key, i))
+            trajs, labels = single_state(k_sim, sequences_per_d, t, Ds=tuple(ds))
+            trajs = trajs / train_cfg.traj_div_factor
+            all_data.append(make_dataset(k_data, trajs, train_cfg, optics))
+            all_labels.append(labels[:, :1, 1] / train_cfg.d_max_normalization)
+        merged = {
+            k: jnp.concatenate([d[k] for d in all_data], axis=0) for k in all_data[0]
+        }
+        merged["labels"] = jnp.concatenate(all_labels, axis=0)
+        return merged
+
+    frozen = load_validation_trajectories(length=val_length)
+    key = jax.random.key(seed + 99)
+    val_data = {}
+    for d in val_d_values:
+        name = f"val{d:g}"
+        if name in frozen:
+            tr = jnp.asarray(frozen[name], jnp.float32) / train_cfg.traj_div_factor
+            vdata = make_dataset(jax.random.fold_in(key, int(d)), tr, train_cfg, optics)
+            vdata["labels"] = None
+            val_data[d] = vdata
+
+    return Experiment("modular", train_cfg, optics, arms, generate_fn, val_data)

@@ -22,6 +22,7 @@ def test_registry_complete():
         "embeddings",
         "images_features",
         "denoising",
+        "modular",
     }
 
 
@@ -152,3 +153,33 @@ def test_resume_continues_schedule(tmp_path):
     assert done == 2
     exp2.run(num_cycles=1, start_cycle=done)
     assert len(exp2.history["resnet"]["val_avg"]) == 3
+
+
+def test_modular_experiment_smoke():
+    """The ModularTransformer regime (models.py:366-593 — the reference built
+    it but never trained it): 3 fusion arms train and validate."""
+    exp = get_experiment("modular", sequences_per_d=8, val_length=6)
+    _assert_ran(exp, {"mod_images", "mod_both_add", "mod_both_concat"}, 1)
+
+
+def test_per_frame_features_causal_and_shaped():
+    import jax.numpy as jnp
+
+    from moleculardiffusion_mivit_tpu.features import (
+        N_PER_FRAME_FEATURES,
+        compute_per_frame_features,
+    )
+
+    key = jax.random.key(0)
+    trajs = jax.random.normal(key, (4, 12, 2))
+    f = compute_per_frame_features(trajs)
+    assert f.shape == (4, 12, N_PER_FRAME_FEATURES)
+    assert np.isfinite(np.asarray(f)).all()
+    # causality: changing the tail must not affect earlier tokens
+    trajs2 = trajs.at[:, 8:].add(100.0)
+    f2 = compute_per_frame_features(trajs2)
+    np.testing.assert_allclose(np.asarray(f[:, :8]), np.asarray(f2[:, :8]), rtol=1e-5)
+    # frame 0 has zero displacement features
+    np.testing.assert_allclose(np.asarray(f[:, 0, :3]), 0.0, atol=1e-6)
+    # running_msd1 at the last frame ~ 4D estimate scale (sanity: positive)
+    assert (np.asarray(f[:, -1, 3]) > 0).all()
