@@ -1,0 +1,110 @@
+"""Rescore trained Framerate checkpoints on a deterministic in-order ImFt
+suite, producing numbers directly comparable to the published exposure table
+(outPoster/exposure_time_errors.csv — best: tr 0.632 @ 150 ms).
+
+The reference scored this experiment on ``valTrajsInOrderImFt.npy``
+(trainSettingsFramerate.py:137), absent from the snapshot; round-1 therefore
+only reproduced the qualitative U-shape. Here we regenerate an equivalent
+asset deterministically (D = 0.1..10.0 step 0.1 × 10 particles × 300 steps,
+``evaluation.generate_in_order_imft``), render it at all six exposure
+settings, evaluate every checkpointed arm, and score the poster way
+(mse of pred·10 − true, std/4; train_resultsPSFNoise.ipynb cell 10).
+
+Run: python examples/framerate_inorder_rescore.py [--ckpt results/framerate_r1/final]
+"""
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculardiffusion_mivit_tpu.evaluation import (
+    IN_ORDER_IMFT_D_VALUES,
+    error_table,
+    generate_in_order_imft,
+)
+from moleculardiffusion_mivit_tpu.experiments.framerate import (
+    RATES,
+    build,
+    render_framerate_stack,
+)
+from moleculardiffusion_mivit_tpu.utils.checkpoint import restore_experiment
+
+# exposure in ms per rate (50 ms per 5 sub-positions, trainSettingsFramerate.py:54)
+EXPOSURE_MS = {5: 50, 10: 100, 15: 150, 20: 200, 30: 300, 50: 500}
+PUBLISHED = {  # outPoster/exposure_time_errors.csv
+    ("t", 50): 1.24, ("r", 50): 1.32,
+    ("t", 100): 0.76, ("r", 100): 0.82,
+    ("t", 150): 0.632, ("r", 150): 0.678,
+    ("t", 200): 0.653, ("r", 200): 0.733,
+    ("t", 300): 0.722, ("r", 300): 0.833,
+    ("t", 500): 0.885, ("r", 500): 1.039,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="results/framerate_r1/final")
+    ap.add_argument("--chunk", type=int, default=100, help="sequences per render/eval call")
+    ap.add_argument("--out-csv", default=None)
+    args = ap.parse_args(argv)
+
+    exp = build()
+    exp.build()
+    restore_experiment(exp, args.ckpt)
+    print(f"restored {args.ckpt}: {exp.model_names}", flush=True)
+
+    trajs = generate_in_order_imft()  # (100, 10, 300, 2)
+    n_d, n_p, t, _ = trajs.shape
+    flat = jnp.asarray(trajs.reshape(n_d * n_p, t, 2), jnp.float32) / exp.train_cfg.traj_div_factor
+
+    key = jax.random.key(123)
+    # render + predict in chunks (full suite = 1000 seq × 6 rates × 60 frames
+    # of 13×13 px; chunking keeps renderer HBM use bounded)
+    preds = {name: [] for name in exp.model_names}
+    for start in range(0, flat.shape[0], args.chunk):
+        chunk = flat[start : start + args.chunk]
+        vids = render_framerate_stack(
+            jax.random.fold_in(key, start), chunk, exp.optics, RATES
+        )
+        data = {"videos": vids, "labels": None}
+        for name in exp.model_names:
+            preds[name].append(np.asarray(exp.predict(name, data)))
+        print(f"  scored {start + chunk.shape[0]}/{flat.shape[0]}", flush=True)
+
+    rows = {}
+    for name in exp.model_names:
+        p = np.concatenate(preds[name], axis=0).reshape(n_d, n_p)
+        rows[name] = error_table(p, IN_ORDER_IMFT_D_VALUES)
+
+    print(f"\n{'arm':<8} {'ms':>4} {'mse':>8} {'std':>7}   published-mse")
+    for i, rate in enumerate(RATES):
+        ms = EXPOSURE_MS[rate]
+        for kind, prefix in (("t", "tr"), ("r", "res")):
+            r = rows[f"{prefix}_{i}"]
+            pub = PUBLISHED[(kind, ms)]
+            mark = "BEAT" if r["mse"] < pub else ""
+            print(
+                f"{prefix}_{i:<5} {ms:>4} {r['mse']:>8.3f} {r['std']:>7.3f}   "
+                f"{pub:.3f} {mark}"
+            )
+
+    out_csv = args.out_csv or os.path.join(os.path.dirname(args.ckpt), "inorder_imft_rescore.csv")
+    with open(out_csv, "w") as f:
+        f.write("model,exposure_ms,mse,std,published_mse\n")
+        for i, rate in enumerate(RATES):
+            for kind, prefix in (("t", "tr"), ("r", "res")):
+                r = rows[f"{prefix}_{i}"]
+                f.write(
+                    f"{prefix}_{i},{EXPOSURE_MS[rate]},{r['mse']:.6g},{r['std']:.6g},"
+                    f"{PUBLISHED[(kind, EXPOSURE_MS[rate])]}\n"
+                )
+    print(f"wrote {out_csv}")
+    return rows
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,7 +1,9 @@
 from moleculardiffusion_mivit_tpu.evaluation.validation import (  # noqa: F401
     IN_ORDER_D_VALUES,
+    IN_ORDER_IMFT_D_VALUES,
     error_table,
     generate_frozen_validation,
+    generate_in_order_imft,
     load_reference_validation,
     load_validation_trajectories,
     render_validation_videos,

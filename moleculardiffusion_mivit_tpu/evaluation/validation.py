@@ -31,6 +31,28 @@ from moleculardiffusion_mivit_tpu.sim import (
 
 REFERENCE_VAL_DIR = "/root/reference/Experiments/validation_trajectories"
 IN_ORDER_D_VALUES = np.round(np.arange(0.1, 7.01, 0.1), 10)
+# The Framerate/ImagesFeatures scripts score on a 100-value grid
+# (val_d_in_order = arange(0.1, 10.01, 0.1), trainSettingsFramerate.py:120);
+# the asset they load (valTrajsInOrderImFt.npy, :137) is absent from the
+# snapshot, so we provide a deterministic equivalent.
+IN_ORDER_IMFT_D_VALUES = np.round(np.arange(0.1, 10.01, 0.1), 10)
+
+
+def generate_in_order_imft(
+    seed: int = 2026, t_steps: int = 300, n_particles: int = 10
+) -> np.ndarray:
+    """Deterministic stand-in for the reference's absent
+    ``valTrajsInOrderImFt.npy`` (trainSettingsFramerate.py:137): trajectories
+    of shape ``(100, n_particles, t_steps, 2)`` over D = 0.1..10.0 step 0.1,
+    fixed D per slice, in raw trajectory units (before /traj_div_factor)."""
+    key = jax.random.key(seed)
+    grid = []
+    for j, d in enumerate(IN_ORDER_IMFT_D_VALUES):
+        trajs, _ = single_state(
+            jax.random.fold_in(key, j), n_particles, t_steps, Ds=(float(d), 0.0)
+        )
+        grid.append(np.asarray(trajs, np.float64))
+    return np.stack(grid)
 
 
 def generate_frozen_validation(
