@@ -29,9 +29,11 @@ from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
-from moleculardiffusion_mivit_tpu.train.grid import make_grid_train_fns
-from moleculardiffusion_mivit_tpu.train.loop import make_train_fns
+from moleculardiffusion_mivit_tpu.train.grid import make_grid_impls
+from moleculardiffusion_mivit_tpu.train.loop import make_train_impls
 
 # data dict -> (videos, features_or_None, labels)
 SliceFn = Callable[[Dict[str, Any]], Tuple[jax.Array, Optional[jax.Array], jax.Array]]
@@ -87,9 +89,13 @@ class Experiment:
         self.val_data = val_data
         self.in_order_data = in_order_data
         self._fns: Dict[str, tuple] = {}
+        self._impls: Dict[str, tuple] = {}
         self.states: Dict[str, Any] = {}
         self.history: Dict[str, Dict[str, list]] = {}
         self._built = False
+        # train all learned arms + generation as ONE compiled program per
+        # cycle (set False to dispatch per arm, e.g. while debugging one arm)
+        self.fused_cycles = True
 
     @property
     def model_names(self) -> List[str]:
@@ -109,10 +115,14 @@ class Experiment:
             k = jax.random.fold_in(key, 1000 + i)
             if isinstance(arm, GridArm):
                 videos, feats, _ = arm.slice_fn(example)
-                init_grid, train_cycle, evaluate = make_grid_train_fns(
+                init_grid, train_cycle, evaluate = make_grid_impls(
                     arm.model, self.train_cfg, arm.with_features
                 )
-                self._fns[arm_name] = (train_cycle, evaluate)
+                self._impls[arm_name] = (train_cycle, evaluate)
+                self._fns[arm_name] = (
+                    jax.jit(train_cycle, static_argnames=("batch_size",)),
+                    jax.jit(evaluate),
+                )
                 self.states[arm_name] = init_grid(
                     k,
                     len(arm.names),
@@ -122,14 +132,51 @@ class Experiment:
             elif arm.model is not None:
                 cfg = arm.train_cfg or self.train_cfg
                 videos, feats, _ = arm.slice_fn(example)
-                init_state, train_cycle, evaluate = make_train_fns(
+                init_state, train_cycle, evaluate = make_train_impls(
                     arm.model, cfg, arm.with_features
                 )
-                self._fns[arm_name] = (train_cycle, evaluate)
+                self._impls[arm_name] = (train_cycle, evaluate)
+                self._fns[arm_name] = (
+                    jax.jit(train_cycle, static_argnames=("batch_size",)),
+                    jax.jit(evaluate),
+                )
                 self.states[arm_name] = init_state(
                     k, videos[:1], feats[:1] if arm.with_features else None
                 )
         self._built = True
+
+    def _fused_cycle_fn(self):
+        """ONE compiled program per training cycle: on-device generation +
+        every learned arm's epoch, traced together (train.multi analog at the
+        experiment level). Per ~40 ms tunnel dispatch this turns
+        1 + n_learned_arms dispatches into one. Key structure matches the
+        unfused loop exactly (fold_in(k_train, arm_index))."""
+        if getattr(self, "_fused_cycle", None) is None:
+
+            @functools.partial(
+                jax.jit, static_argnames=("batch_size",), donate_argnums=(0,)
+            )
+            def fused(states, k_gen, k_train, lr, batch_size: int):
+                data = self.generate_fn(k_gen)
+                new_states = dict(states)
+                for j, (arm_name, arm) in enumerate(self.arms.items()):
+                    if isinstance(arm, ModelEntry) and arm.model is None:
+                        continue
+                    train_cycle = self._impls[arm_name][0]
+                    videos, feats, labels = arm.slice_fn(data)
+                    new_states[arm_name], _ = train_cycle(
+                        states[arm_name],
+                        videos,
+                        labels,
+                        feats,
+                        jax.random.fold_in(k_train, j),
+                        lr,
+                        batch_size,
+                    )
+                return new_states
+
+            self._fused_cycle = fused
+        return self._fused_cycle
 
     # -- prediction (the make_prediction dispatch) -----------------------
     def _arm_of(self, model_name: str):
@@ -205,24 +252,27 @@ class Experiment:
         for cycle in range(start_cycle, start_cycle + num_cycles):
             k_cycle = jax.random.fold_in(key, cycle)
             k_gen, k_train = jax.random.split(k_cycle)
-            data = self.generate_fn(k_gen)
             bs = self.train_cfg.batch_size_for_cycle(cycle)
             lr = jnp.float32(self.train_cfg.lr_for_cycle(cycle))
 
-            for j, (arm_name, arm) in enumerate(self.arms.items()):
-                if isinstance(arm, ModelEntry) and arm.model is None:
-                    continue
-                train_cycle, _ = self._fns[arm_name]
-                videos, feats, labels = arm.slice_fn(data)
-                self.states[arm_name], _ = train_cycle(
-                    self.states[arm_name],
-                    videos,
-                    labels,
-                    feats,
-                    jax.random.fold_in(k_train, j),
-                    lr,
-                    bs,
-                )
+            if self.fused_cycles:
+                self.states = self._fused_cycle_fn()(self.states, k_gen, k_train, lr, bs)
+            else:
+                data = self.generate_fn(k_gen)
+                for j, (arm_name, arm) in enumerate(self.arms.items()):
+                    if isinstance(arm, ModelEntry) and arm.model is None:
+                        continue
+                    train_cycle, _ = self._fns[arm_name]
+                    videos, feats, labels = arm.slice_fn(data)
+                    self.states[arm_name], _ = train_cycle(
+                        self.states[arm_name],
+                        videos,
+                        labels,
+                        feats,
+                        jax.random.fold_in(k_train, j),
+                        lr,
+                        bs,
+                    )
 
             if (cycle + 1) % eval_every == 0 or cycle == num_cycles - 1:
                 cycle_avgs = self._evaluate_cycle()

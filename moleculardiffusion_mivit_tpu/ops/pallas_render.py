@@ -8,10 +8,18 @@ assembly is a ``(S × P) @ (P × S)`` dot per element.
 
 At the reference's frame sizes (S=9..13, u=5, P≤50) XLA's own fusion of the
 lax ops is already excellent, so the XLA path stays the default; this kernel
-exists for (a) larger fields where HBM-intermediate traffic matters and
-(b) as the hand-tuned fallback should the XLA schedule regress. Select with
-``renderer="pallas"`` in ``pallas_render_frames`` callers or benchmark both
-with ``benchmark_renderers``.
+exists as the hand-tuned fallback should the XLA schedule regress. Select
+with ``renderer="pallas"`` in ``pallas_render_frames`` callers or benchmark
+both with ``benchmark_renderers``.
+
+Measured (TPU v5e, dispatch-amortized inside one compiled fori_loop,
+2026-08-16; see RESULTS.md): per 1920-frame render call XLA 138 µs vs
+Pallas 1135 µs at 9×9, 132 vs 1132 µs at 13×13; 150 vs 309 µs per 256-frame
+call at 63×63. The per-element loop this kernel uses to sidestep the Mosaic
+(TB, P) → (TB·P, 1) relayout limitation serializes the tile, so XLA wins at
+every size tested and remains the default on data, not just judgment. At
+138 µs per cycle's generation the renderer is ≪1% of a training cycle either
+way.
 """
 
 from __future__ import annotations
