@@ -70,6 +70,34 @@ def rotate_videos(videos: jax.Array, k: int) -> jax.Array:
     return jnp.rot90(videos, k=k, axes=(-2, -1))
 
 
+def _data_parallel_fns(train_cycle_impl, eval_impl, mesh):
+    """Pure data parallelism for a single-model arm: parameters replicated,
+    batch sharded over every mesh device; XLA inserts the gradient-mean psum
+    over ICI from the sharding annotations. Batch sizes must divide the
+    device count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    rep = NamedSharding(mesh, P())
+    data_s = NamedSharding(mesh, P(axes))
+    train_cycle = jax.jit(
+        train_cycle_impl,
+        static_argnames=("batch_size",),
+        in_shardings=(rep, data_s, data_s, data_s, rep, rep),
+        out_shardings=(rep, rep),
+    )
+    ev_jit = jax.jit(
+        lambda st, v, f: eval_impl(st, v, f),
+        in_shardings=(rep, data_s, data_s),
+        out_shardings=data_s,
+    )
+
+    def evaluate(state, videos, features=None):
+        return ev_jit(state, videos, features)
+
+    return train_cycle, evaluate
+
+
 class Experiment:
     def __init__(
         self,
@@ -96,6 +124,20 @@ class Experiment:
         # train all learned arms + generation as ONE compiled program per
         # cycle (set False to dispatch per arm, e.g. while debugging one arm)
         self.fused_cycles = True
+        self._mesh = None
+
+    def use_mesh(self, mesh) -> "Experiment":
+        """Shard this experiment over a data × model ``Mesh`` (call before
+        ``build``): GridArm stacks shard their parameters/optimizer over the
+        'model' axis and their batch over 'data' (``parallel.steps``);
+        single-model arms replicate parameters and shard the batch over the
+        whole mesh (pure data parallelism — the gradient mean becomes a psum
+        over ICI). Cycle fusion is disabled in mesh mode: each arm's program
+        carries its own sharding annotations."""
+        assert not self._built, "use_mesh must be called before build()"
+        self._mesh = mesh
+        self.fused_cycles = False
+        return self
 
     @property
     def model_names(self) -> List[str]:
@@ -119,16 +161,29 @@ class Experiment:
                     arm.model, self.train_cfg, arm.with_features
                 )
                 self._impls[arm_name] = (train_cycle, evaluate)
-                self._fns[arm_name] = (
-                    jax.jit(train_cycle, static_argnames=("batch_size",)),
-                    jax.jit(evaluate),
-                )
+                if self._mesh is not None:
+                    from moleculardiffusion_mivit_tpu.parallel import (
+                        make_sharded_grid_fns,
+                        shard_grid,
+                    )
+
+                    _, sh_cycle, sh_eval = make_sharded_grid_fns(
+                        arm.model, self.train_cfg, self._mesh, arm.with_features
+                    )
+                    self._fns[arm_name] = (sh_cycle, sh_eval)
+                else:
+                    self._fns[arm_name] = (
+                        jax.jit(train_cycle, static_argnames=("batch_size",)),
+                        jax.jit(evaluate),
+                    )
                 self.states[arm_name] = init_grid(
                     k,
                     len(arm.names),
                     videos[0, :1],
                     feats[0, :1] if arm.with_features else None,
                 )
+                if self._mesh is not None:
+                    self.states[arm_name] = shard_grid(self.states[arm_name], self._mesh)
             elif arm.model is not None:
                 cfg = arm.train_cfg or self.train_cfg
                 videos, feats, _ = arm.slice_fn(example)
@@ -136,10 +191,15 @@ class Experiment:
                     arm.model, cfg, arm.with_features
                 )
                 self._impls[arm_name] = (train_cycle, evaluate)
-                self._fns[arm_name] = (
-                    jax.jit(train_cycle, static_argnames=("batch_size",)),
-                    jax.jit(evaluate),
-                )
+                if self._mesh is not None:
+                    self._fns[arm_name] = _data_parallel_fns(
+                        train_cycle, evaluate, self._mesh
+                    )
+                else:
+                    self._fns[arm_name] = (
+                        jax.jit(train_cycle, static_argnames=("batch_size",)),
+                        jax.jit(evaluate),
+                    )
                 self.states[arm_name] = init_state(
                     k, videos[:1], feats[:1] if arm.with_features else None
                 )

@@ -42,6 +42,15 @@ def main(argv=None):
         help="checkpoint directory (e.g. <out>/final) to restore and "
         "continue from; runs the remaining cycles based on saved history",
     )
+    ap.add_argument(
+        "--mesh",
+        type=str,
+        default=None,
+        help="shard over a device mesh, e.g. 'data=2,model=4': GridArm "
+        "stacks shard params over 'model' and the batch over 'data'; "
+        "single-model arms replicate params and shard the batch over all "
+        "devices (counts must divide batch / model-stack sizes)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -63,6 +72,11 @@ def main(argv=None):
     ).parameters:
         kwargs["with_in_order"] = True
     exp = get_experiment(args.experiment, **kwargs)
+    if args.mesh:
+        from moleculardiffusion_mivit_tpu.parallel import make_mesh
+
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        exp.use_mesh(make_mesh(**{k: int(v) for k, v in spec.items()}))
     n_cycles = args.cycles or exp.train_cfg.num_cycles
 
     logger.log(

@@ -221,3 +221,32 @@ def test_fused_generation_program_born_sharded():
     )
     for a, b in zip(jax.tree.leaves(grid_fused.params), jax.tree.leaves(grid_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
+
+
+def test_experiment_use_mesh_baseline_and_grid():
+    """Mesh-sharded Experiment engine: a ModelEntry experiment (pure DP,
+    params replicated, batch sharded over all 8 devices) and a GridArm
+    experiment (params over 'model', batch over 'data') both run a cycle
+    with finite losses on the virtual mesh."""
+    from moleculardiffusion_mivit_tpu.experiments import get_experiment
+
+    exp = get_experiment(
+        "baseline", sequences_per_d=8, val_length=6, try_leaky_relu=False
+    ).use_mesh(make_mesh(data=8, model=1))
+    _, history = exp.run(num_cycles=1)
+    assert all(np.isfinite(h["val_avg"]).all() for h in history.values())
+    # params stayed replicated; predictions exist for every arm
+    leaf = jax.tree.leaves(exp.states["resnet"].params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    exp_grid = get_experiment(
+        "psfnoise",
+        sequences_per_d=4,
+        val_length=6,
+        psf_settings=(2.0, 1.0),
+        noise_settings=(0.0, 0.1),
+    ).use_mesh(make_mesh(data=2, model=4))
+    _, history = exp_grid.run(num_cycles=1)
+    assert all(np.isfinite(h["val_avg"]).all() for h in history.values())
+    leaf = jax.tree.leaves(exp_grid.states[next(iter(exp_grid.arms))].params)[0]
+    assert not leaf.sharding.is_fully_replicated
