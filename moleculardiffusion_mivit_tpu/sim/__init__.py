@@ -3,6 +3,7 @@ from moleculardiffusion_mivit_tpu.sim.trajectory import (  # noqa: F401
     average_trajectories_frames,
     fractional_gaussian_noise,
     fbm_trajectories,
+    reflect_into_box,
     single_state,
 )
 from moleculardiffusion_mivit_tpu.sim.render import (  # noqa: F401

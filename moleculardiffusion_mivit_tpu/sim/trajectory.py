@@ -163,9 +163,25 @@ def fbm_trajectories(
     return jnp.cumsum(disp, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "t", "pure_brownian"))
-def _single_state_impl(key, n, t, d_mean, d_sigma, a_mean, a_sigma, pure_brownian, drift):
-    kd, ka, kt = jax.random.split(key, 3)
+def reflect_into_box(positions: jax.Array, L: Union[float, jax.Array]) -> jax.Array:
+    """Fold free positions into ``[0, L]`` with reflecting boundaries.
+
+    The triangular-wave map ``L - |mod(x, 2L) - L|`` is the reflection map
+    that constructs a reflected process from an unconstrained one — exact in
+    distribution for Brownian motion, and the same discrete-time treatment
+    the andi-datasets simulator applies when ``single_state`` is given a
+    finite box size ``L`` (the reference always passes ``L=0`` = free,
+    tests/train_tests/trainModels.py:117-121).
+    """
+    L = jnp.asarray(L, jnp.float32)
+    return L - jnp.abs(jnp.mod(positions, 2.0 * L) - L)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "t", "pure_brownian", "confined"))
+def _single_state_impl(
+    key, n, t, d_mean, d_sigma, a_mean, a_sigma, pure_brownian, drift, L, confined
+):
+    kd, ka, kt, k0 = jax.random.split(key, 4)
     ds = _truncated_normal_at_zero(kd, d_mean, d_sigma, (n,))
     alphas = jnp.clip(_truncated_normal_at_zero(ka, a_mean, a_sigma, (n,)), 0.0, 2.0)
     if pure_brownian:
@@ -178,6 +194,10 @@ def _single_state_impl(key, n, t, d_mean, d_sigma, a_mean, a_sigma, pure_brownia
     # origin) advances by drift*(i+1)
     times = jnp.arange(1, t + 1, dtype=jnp.float32)
     trajs = trajs + drift[None, None, :] * times[None, :, None]
+    if confined:
+        # uniform random start inside the box, then reflecting boundaries
+        start = jax.random.uniform(k0, (n, 1, 2), jnp.float32, 0.0, L)
+        trajs = reflect_into_box(trajs + start, L)
     labels = jnp.stack(
         [
             jnp.broadcast_to(alphas[:, None], (n, t)),
@@ -196,6 +216,7 @@ def single_state(
     Ds: Union[float, Tuple[float, float]],
     alphas: Union[float, Tuple[float, float]] = 1.0,
     drift: Optional[Tuple[float, float]] = None,
+    L: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """TPU-native equivalent of ``models_phenom().single_state``.
 
@@ -209,6 +230,11 @@ def single_state(
     ``drift`` adds an optional constant velocity ``(vx, vy)`` in trajectory
     units per step — the directional-motion variant the reference explores
     in tests/Simulator_tests/AnDi-Directional_Tests.ipynb.
+
+    ``L`` is the andi-datasets confinement box size: ``L > 0`` starts each
+    particle uniformly inside ``[0, L]^2`` and applies reflecting boundaries
+    (``reflect_into_box``); ``L == 0`` (the reference's only usage,
+    trainModels.py:118) means free diffusion.
 
     Returns ``trajs (N, T, 2)``, ``labels (N, T, 3)`` — note: already in the
     particle-major layout the reference obtains by transposing
@@ -231,4 +257,6 @@ def single_state(
         jnp.float32(a_sigma),
         pure_brownian,
         drift_vec,
+        jnp.float32(L),
+        float(L) > 0.0,
     )

@@ -112,3 +112,30 @@ def test_drift_loop_closure():
     bm = np.asarray(brownian_motion(jax.random.key(11), 128, 10, 4, 1.0, dt=2.0, drift=(1.0, 0.0)))
     step_mean = np.diff(bm, axis=1).mean(axis=(0, 1))
     np.testing.assert_allclose(step_mean, [1.0 * 2.0 / 4.0, 0.0], atol=0.05)
+
+
+def test_confined_single_state_reflecting_box():
+    """L > 0 (the andi confinement arg the reference always passes as 0):
+    particles stay inside [0, L]^2, the long-time positional distribution is
+    ~uniform (per-axis variance L^2/12), and MSD saturates far below the free
+    4*D*t growth."""
+    from moleculardiffusion_mivit_tpu.sim import single_state
+
+    L = 3.0
+    trajs, labels = single_state(jax.random.key(3), 256, 400, Ds=(1.0, 0.0), L=L)
+    trajs = np.asarray(trajs)
+    assert trajs.min() >= 0.0 and trajs.max() <= L
+    # stationary uniform: var per axis = L^2/12
+    late = trajs[:, 200:, :]
+    np.testing.assert_allclose(late.var(), L**2 / 12.0, rtol=0.1)
+    # MSD plateaus at ~2 axes * 2 * L^2/12 = L^2/3, far below free 4*D*t
+    lag = 100
+    msd = ((trajs[:, lag:] - trajs[:, :-lag]) ** 2).sum(-1).mean()
+    assert msd < 0.25 * (4.0 * 1.0 * lag)
+    np.testing.assert_allclose(msd, L**2 / 3.0, rtol=0.15)
+    # labels unchanged by confinement
+    np.testing.assert_allclose(np.asarray(labels[:, :, 1]), 1.0)
+
+    # L=0 stays the free-diffusion path (reference's only usage)
+    free, _ = single_state(jax.random.key(3), 8, 50, Ds=(1.0, 0.0), L=0.0)
+    assert np.asarray(free).min() < 0.0
