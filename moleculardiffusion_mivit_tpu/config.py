@@ -137,6 +137,11 @@ class TrainConfig:
     adaptive_batch_size: int = 20
     initial_batch_size: int = 1
     fixed_batch_size: int = 16
+    # Ceiling for the doubling schedule. The reference's 100-cycle protocol
+    # tops out at 16 (trainModels.py:102-108); runs longer than 100 cycles
+    # would otherwise double unboundedly (batch 128 at cycle 140 OOMs the
+    # 30-model PSFNoise grid on one chip). 0 = uncapped.
+    max_batch_size: int = 64
     d_max_normalization: float = 10.0
     n_frames: int = 30
     n_pos_per_frame: int = 10
@@ -155,7 +160,8 @@ class TrainConfig:
     def batch_size_for_cycle(self, cycle: int) -> int:
         if self.adaptive_batch_size == -1:
             return self.fixed_batch_size
-        return self.initial_batch_size * (2 ** (cycle // self.adaptive_batch_size))
+        bs = self.initial_batch_size * (2 ** (cycle // self.adaptive_batch_size))
+        return min(bs, self.max_batch_size) if self.max_batch_size else bs
 
     def lr_for_cycle(self, cycle: int) -> float:
         return self.lr * (self.lr_gamma ** (cycle // self.lr_step_cycles))

@@ -33,7 +33,7 @@ import functools
 
 from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
 from moleculardiffusion_mivit_tpu.train.grid import make_grid_impls
-from moleculardiffusion_mivit_tpu.train.loop import make_train_impls
+from moleculardiffusion_mivit_tpu.train.loop import _set_lr, make_train_impls
 
 # data dict -> (videos, features_or_None, labels)
 SliceFn = Callable[[Dict[str, Any]], Tuple[jax.Array, Optional[jax.Array], jax.Array]]
@@ -124,6 +124,11 @@ class Experiment:
         # train all learned arms + generation as ONE compiled program per
         # cycle (set False to dispatch per arm, e.g. while debugging one arm)
         self.fused_cycles = True
+        # inside the fused program, step all arms in ONE merged lax.scan
+        # (vs one scan per arm — same update sequence either way). Default
+        # False: on-chip A/B showed the merged variant ~15% slower at batch 1
+        # and neutral at batch 16 (see train.multi.make_multi_cycle docs).
+        self.merge_scans = False
         self._mesh = None
 
     def use_mesh(self, mesh) -> "Experiment":
@@ -157,10 +162,13 @@ class Experiment:
             k = jax.random.fold_in(key, 1000 + i)
             if isinstance(arm, GridArm):
                 videos, feats, _ = arm.slice_fn(example)
-                init_grid, train_cycle, evaluate = make_grid_impls(
-                    arm.model, self.train_cfg, arm.with_features
+                impls = make_grid_impls(arm.model, self.train_cfg, arm.with_features)
+                init_grid, train_cycle, evaluate = (
+                    impls.init_grid,
+                    impls.train_cycle,
+                    impls.evaluate,
                 )
-                self._impls[arm_name] = (train_cycle, evaluate)
+                self._impls[arm_name] = (train_cycle, evaluate, impls)
                 if self._mesh is not None:
                     from moleculardiffusion_mivit_tpu.parallel import (
                         make_sharded_grid_fns,
@@ -187,10 +195,13 @@ class Experiment:
             elif arm.model is not None:
                 cfg = arm.train_cfg or self.train_cfg
                 videos, feats, _ = arm.slice_fn(example)
-                init_state, train_cycle, evaluate = make_train_impls(
-                    arm.model, cfg, arm.with_features
+                impls = make_train_impls(arm.model, cfg, arm.with_features)
+                init_state, train_cycle, evaluate = (
+                    impls.init_state,
+                    impls.train_cycle,
+                    impls.evaluate,
                 )
-                self._impls[arm_name] = (train_cycle, evaluate)
+                self._impls[arm_name] = (train_cycle, evaluate, impls)
                 if self._mesh is not None:
                     self._fns[arm_name] = _data_parallel_fns(
                         train_cycle, evaluate, self._mesh
@@ -209,8 +220,17 @@ class Experiment:
         """ONE compiled program per training cycle: on-device generation +
         every learned arm's epoch, traced together (train.multi analog at the
         experiment level). Per ~40 ms tunnel dispatch this turns
-        1 + n_learned_arms dispatches into one. Key structure matches the
-        unfused loop exactly (fold_in(k_train, arm_index))."""
+        1 + n_learned_arms dispatches into one.
+
+        With ``self.merge_scans`` (default False — see
+        ``train.multi.make_multi_cycle`` for the on-chip A/B), arms sharing
+        an epoch length are additionally merged into ONE ``lax.scan`` whose
+        body steps every arm (single-model arms via ``TrainImpls.train_step``,
+        vmapped grids via ``GridImpls.train_step``), paying the loop overhead
+        once per minibatch instead of once per arm per minibatch. Permutation/
+        dropout keys are derived exactly as the per-arm ``train_cycle`` would
+        (fold_in(k_train, arm_index) → split), so merged and unmerged
+        execution match bit-for-bit."""
         if getattr(self, "_fused_cycle", None) is None:
 
             @functools.partial(
@@ -219,20 +239,68 @@ class Experiment:
             def fused(states, k_gen, k_train, lr, batch_size: int):
                 data = self.generate_fn(k_gen)
                 new_states = dict(states)
+                groups: Dict[int, list] = {}
                 for j, (arm_name, arm) in enumerate(self.arms.items()):
                     if isinstance(arm, ModelEntry) and arm.model is None:
                         continue
-                    train_cycle = self._impls[arm_name][0]
                     videos, feats, labels = arm.slice_fn(data)
-                    new_states[arm_name], _ = train_cycle(
-                        states[arm_name],
-                        videos,
-                        labels,
-                        feats,
-                        jax.random.fold_in(k_train, j),
-                        lr,
-                        batch_size,
+                    n = videos.shape[1] if isinstance(arm, GridArm) else videos.shape[0]
+                    groups.setdefault(n // batch_size, []).append(
+                        (j, arm_name, arm, videos, feats, labels)
                     )
+                if not self.merge_scans:
+                    for steps, items in groups.items():
+                        for j, arm_name, arm, videos, feats, labels in items:
+                            new_states[arm_name], _ = self._impls[arm_name][0](
+                                states[arm_name],
+                                videos,
+                                labels,
+                                feats,
+                                jax.random.fold_in(k_train, j),
+                                lr,
+                                batch_size,
+                            )
+                    return new_states
+                for steps, items in groups.items():
+                    if steps == 0:
+                        continue
+                    carries, xs, steppers = [], [], []
+                    for j, arm_name, arm, videos, feats, labels in items:
+                        k_arm = jax.random.fold_in(k_train, j)
+                        impls = self._impls[arm_name][2]
+                        st = states[arm_name]
+                        if isinstance(arm, GridArm):
+                            perms, dks = impls.make_perms(
+                                k_arm, videos.shape[0], videos.shape[1], batch_size
+                            )
+                            xs.append(jnp.swapaxes(perms, 0, 1))  # (steps, M, B)
+                            carries.append(st)
+
+                            def stepper(c, idx, _i=impls, _v=videos, _f=feats, _l=labels, _d=dks):
+                                return _i.train_step(c, _v, _l, _f, idx, _d, lr)[0]
+
+                        else:
+                            k_perm, k_drop = jax.random.split(k_arm)
+                            perm = jax.random.permutation(k_perm, videos.shape[0])
+                            xs.append(perm[: steps * batch_size].reshape(steps, batch_size))
+                            carries.append(
+                                st.replace(opt_state=_set_lr(st.opt_state, lr))
+                            )
+
+                            def stepper(c, idx, _i=impls, _v=videos, _f=feats, _l=labels, _d=k_drop):
+                                return _i.train_step(c, _v, _l, _f, idx, _d)[0]
+
+                        steppers.append(stepper)
+
+                    def body(carry, idx_tuple, _steppers=tuple(steppers)):
+                        return (
+                            tuple(s(c, i) for s, c, i in zip(_steppers, carry, idx_tuple)),
+                            None,
+                        )
+
+                    carry, _ = jax.lax.scan(body, tuple(carries), tuple(xs))
+                    for (j, arm_name, *_rest), c in zip(items, carry):
+                        new_states[arm_name] = c
                 return new_states
 
             self._fused_cycle = fused

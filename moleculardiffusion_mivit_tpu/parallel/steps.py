@@ -52,7 +52,8 @@ def make_sharded_grid_fns(
     - ``evaluate(grid, videos, features=None)`` → rescaled predictions,
       born sharded ``P('model', 'data')``.
     """
-    init_grid, cycle_impl, eval_impl = make_grid_impls(model, train_cfg, with_features)
+    impls = make_grid_impls(model, train_cfg, with_features)
+    init_grid, cycle_impl, eval_impl = impls.init_grid, impls.train_cycle, impls.evaluate
     grid_s, data_s, rep_s = _shardings(mesh)
 
     train_cycle = jax.jit(
@@ -95,7 +96,7 @@ def make_sharded_cycle_program(
     Returns ``cycle(grid, key, lr, batch_size) -> (grid, losses)`` with the
     grid state sharded ``P('model')`` throughout.
     """
-    _, cycle_impl, _ = make_grid_impls(model, train_cfg, with_features)
+    cycle_impl = make_grid_impls(model, train_cfg, with_features).train_cycle
     grid_s, data_s, rep_s = _shardings(mesh)
 
     def constrain(x):

@@ -17,7 +17,7 @@ leaves.
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,24 @@ class ModelGrid(struct.PyTreeNode):
     @property
     def n_models(self) -> int:
         return jax.tree.leaves(self.params)[0].shape[0]
+
+
+class GridImpls(NamedTuple):
+    """Unjitted closures from ``make_grid_impls``.
+
+    ``train_step(grid, videos, labels, features, idx, drop_keys, lr)`` is the
+    single-minibatch update for the WHOLE stack (``idx (M, B)`` per-model
+    batch indices, ``drop_keys (M,)``), exposed so the experiment engine can
+    merge several arms' epochs into one ``lax.scan``. ``make_perms`` derives
+    the per-model ``(M, steps, B)`` permutations and dropout keys exactly as
+    ``train_cycle`` would, so merged and unmerged execution match bit-for-bit.
+    """
+
+    init_grid: Callable
+    train_cycle: Callable
+    evaluate: Callable
+    train_step: Callable
+    make_perms: Callable
 
 
 def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
@@ -123,6 +141,51 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
         )(grid.params, grid.batch_stats, grid.opt_state, videos, labels, in_feats, keys)
         return ModelGrid(params, bstats, opt), losses
 
+    def make_perms(key, m: int, n: int, batch_size: int):
+        """Per-model permutations + dropout keys, derived exactly as
+        ``train_cycle`` does (split(key, m) → per-model split): returns
+        ``(perms (M, steps, B), drop_keys (M,))``."""
+        steps = n // batch_size
+        keys = jax.random.split(key, m)
+
+        def one(k):
+            k_perm, k_drop = jax.random.split(k)
+            perm = jax.random.permutation(k_perm, n)[: steps * batch_size]
+            return perm.reshape(steps, batch_size), k_drop
+
+        return jax.vmap(one)(keys)
+
+    def train_step(grid: ModelGrid, videos, labels, features, idx, drop_keys, lr):
+        """One minibatch grad+update for every model in the stack.
+
+        ``idx (M, B)`` gathers each model's batch from its own data slice;
+        the per-model dropout key is ``fold_in(drop_keys[m], idx[m, 0])`` —
+        identical to the scan body inside ``train_cycle``."""
+
+        def one(params, bstats, opt, vids, labs, feats, ix, dk):
+            st = TrainState(params, bstats, _set_lr(opt, lr))
+            bv = vids[ix]
+            by = labs[ix]
+            bf = feats[ix] if with_features else None
+            dkey = jax.random.fold_in(dk, ix[0])
+            (loss, new_bstats), grads = grad_fn(st.params, st.batch_stats, bv, bf, by, dkey)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            return optax.apply_updates(st.params, updates), new_bstats, new_opt, loss
+
+        params, bstats, opt, losses = jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, 0 if with_features else None, 0, 0)
+        )(
+            grid.params,
+            grid.batch_stats,
+            grid.opt_state,
+            videos,
+            labels,
+            features if with_features else None,
+            idx,
+            drop_keys,
+        )
+        return ModelGrid(params, bstats, opt), losses
+
     def evaluate(grid: ModelGrid, videos, features=None):
         """videos (M, N, F, S, S) → rescaled predictions (M, N, ...)."""
 
@@ -138,7 +201,7 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
         )
         return out * train_cfg.d_max_normalization
 
-    return init_grid, train_cycle, evaluate
+    return GridImpls(init_grid, train_cycle, evaluate, train_step, make_perms)
 
 
 def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = False):
@@ -147,8 +210,8 @@ def make_grid_train_fns(model, train_cfg: TrainConfig, with_features: bool = Fal
     See ``make_grid_impls`` for semantics; ``parallel.steps`` provides the
     multi-chip (pjit over a data × model mesh) jit of the same impls.
     """
-    init_grid, train_cycle, evaluate = make_grid_impls(model, train_cfg, with_features)
+    impls = make_grid_impls(model, train_cfg, with_features)
     train_cycle = jax.jit(
-        train_cycle, static_argnames=("batch_size",), donate_argnums=(0,)
+        impls.train_cycle, static_argnames=("batch_size",), donate_argnums=(0,)
     )
-    return init_grid, train_cycle, jax.jit(evaluate)
+    return impls.init_grid, train_cycle, jax.jit(impls.evaluate)

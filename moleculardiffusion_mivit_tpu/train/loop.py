@@ -21,7 +21,7 @@ TPU-first differences (behavior-preserving):
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,22 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+
+
+class TrainImpls(NamedTuple):
+    """Unjitted per-model closures from ``make_train_impls``.
+
+    ``train_step`` is the single-minibatch grad+update (the body of
+    ``train_cycle``'s scan), exposed so fused multi-model programs
+    (``train.multi``) can merge every model's epoch into ONE scan.
+    It assumes the learning rate was already injected into
+    ``state.opt_state`` (see ``set_lr``).
+    """
+
+    init_state: Callable
+    train_cycle: Callable
+    evaluate: Callable
+    train_step: Callable
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -201,25 +217,30 @@ def make_train_impls(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    def train_step(state, videos, labels, features, idx, k_drop):
+        """One minibatch grad+update; ``idx`` gathers the batch, the dropout
+        key is derived from the batch's first index (so the merged multi-model
+        scan reproduces the per-model scan bit-for-bit). Assumes the LR was
+        already injected into ``state.opt_state``."""
+        bv = videos[idx]
+        by = labels[idx]
+        bf = features[idx] if with_features else None
+        dk = jax.random.fold_in(k_drop, idx[0])
+        (loss, new_bstats), grads = grad_fn(state.params, state.batch_stats, bv, bf, by, dk)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bstats, new_opt), loss
+
     def train_cycle(state, videos, labels, features, key, lr, batch_size: int):
         n = videos.shape[0]
         steps = n // batch_size
         k_perm, k_drop = jax.random.split(key)
         perm = jax.random.permutation(k_perm, n)[: steps * batch_size]
         perm = perm.reshape(steps, batch_size)
-        opt_state = _set_lr(state.opt_state, lr)
-        state = state.replace(opt_state=opt_state)
+        state = state.replace(opt_state=_set_lr(state.opt_state, lr))
 
         def body(carry, idx):
-            st = carry
-            bv = videos[idx]
-            by = labels[idx]
-            bf = features[idx] if with_features else None
-            dk = jax.random.fold_in(k_drop, idx[0])
-            (loss, new_bstats), grads = grad_fn(st.params, st.batch_stats, bv, bf, by, dk)
-            updates, new_opt = tx.update(grads, st.opt_state, st.params)
-            new_params = optax.apply_updates(st.params, updates)
-            return TrainState(new_params, new_bstats, new_opt), loss
+            return train_step(carry, videos, labels, features, idx, k_drop)
 
         state, losses = jax.lax.scan(body, state, perm)
         return state, jnp.mean(losses)
@@ -232,7 +253,7 @@ def make_train_impls(
         out = model.apply(variables, *args, train=False)
         return out * train_cfg.d_max_normalization
 
-    return init_state, train_cycle, evaluate
+    return TrainImpls(init_state, train_cycle, evaluate, train_step)
 
 
 def make_train_fns(
@@ -243,11 +264,11 @@ def make_train_fns(
     """Single-device jitted ``(init_state, train_cycle, evaluate)``; see
     ``make_train_impls``. The incoming state is donated so parameter/
     optimizer buffers update in place instead of reallocating every cycle."""
-    init_state, train_cycle, evaluate = make_train_impls(model, train_cfg, with_features)
+    impls = make_train_impls(model, train_cfg, with_features)
     train_cycle = jax.jit(
-        train_cycle, static_argnames=("batch_size",), donate_argnums=(0,)
+        impls.train_cycle, static_argnames=("batch_size",), donate_argnums=(0,)
     )
-    return init_state, train_cycle, jax.jit(evaluate)
+    return impls.init_state, train_cycle, jax.jit(impls.evaluate)
 
 
 def run_training(

@@ -183,3 +183,96 @@ def test_per_frame_features_causal_and_shaped():
     np.testing.assert_allclose(np.asarray(f[:, 0, :3]), 0.0, atol=1e-6)
     # running_msd1 at the last frame ~ 4D estimate scale (sanity: positive)
     assert (np.asarray(f[:, -1, 3]) > 0).all()
+
+
+def test_fused_merged_scan_matches_unmerged():
+    """Inside the SAME fused one-program-per-cycle structure, merging all
+    arms' epochs into one ``lax.scan`` must reproduce the one-scan-per-arm
+    variant: identical generation tracing, identical key derivation
+    (fold_in(k_train, arm_index) → split), so the only difference is loop
+    structure — tolerances are float-reassociation-level.  (Comparing against
+    the per-arm *dispatch* path instead is not bit-stable: generation traced
+    inside vs outside the program differs in low bits, which ~44 batch-1
+    AdamW steps amplify to ~1e-3.)"""
+
+    def make():
+        return get_experiment(
+            "psfnoise",
+            sequences_per_d=8,
+            val_length=6,
+            psf_settings=(2.0, 1.0),
+            noise_settings=(0.0, 0.1),
+            val_d_values=(1.0, 5.0),
+        )
+
+    exp_merged = make()
+    exp_unmerged = make()
+    exp_unmerged.merge_scans = False
+    exp_merged.build(jax.random.key(42))
+    exp_unmerged.build(jax.random.key(42))
+    exp_merged.run(num_cycles=1)
+    exp_unmerged.run(num_cycles=1)
+    for arm_name in exp_merged.states:
+        a = jax.tree.leaves(exp_merged.states[arm_name].params)
+        b = jax.tree.leaves(exp_unmerged.states[arm_name].params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6, rtol=1e-5, err_msg=arm_name
+            )
+
+
+def test_grid_train_step_matches_train_cycle():
+    """GridImpls.train_step + make_perms scanned manually must reproduce
+    GridImpls.train_cycle exactly on FIXED input data (same jit boundary
+    semantics, so this is a precise structural check of the merged-scan
+    machinery: permutations, dropout keys, LR injection)."""
+    import jax.numpy as jnp
+
+    from moleculardiffusion_mivit_tpu.config import (
+        BASELINE_OPTICS,
+        ModelConfig,
+        TrainConfig,
+    )
+    from moleculardiffusion_mivit_tpu.models import GeneralTransformer
+    from moleculardiffusion_mivit_tpu.train.grid import make_grid_impls
+    from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
+
+    cfg = TrainConfig(
+        sequences_per_d=8,
+        training_ds=((1, 1), (5, 1)),
+        n_frames=6,
+        n_pos_per_frame=5,
+    )
+    model = GeneralTransformer(
+        ModelConfig(patch_size=9, embed_dim=32, num_heads=4, hidden_dim=64,
+                    num_layers=2, dropout=0.1),
+        embedding="linear",
+    )
+    impls = make_grid_impls(model, cfg)
+    videos, labels, _ = generate_cycle_data(jax.random.key(0), cfg, BASELINE_OPTICS)
+    m, bsz = 2, 4
+    videos_m = jnp.stack([videos, videos[::-1]])
+    labels_m = jnp.stack([labels, labels[::-1]])
+    grid = impls.init_grid(jax.random.key(1), m, videos[:1])
+    key, lr = jax.random.key(2), jnp.float32(1e-4)
+
+    ref_grid, ref_losses = jax.jit(impls.train_cycle, static_argnames=("batch_size",))(
+        grid, videos_m, labels_m, None, key, lr, bsz
+    )
+
+    @jax.jit
+    def merged(grid):
+        perms, dks = impls.make_perms(key, m, videos.shape[0], bsz)
+
+        def body(g, idx):
+            g, losses = impls.train_step(g, videos_m, labels_m, None, idx, dks, lr)
+            return g, losses
+
+        return jax.lax.scan(body, grid, jnp.swapaxes(perms, 0, 1))
+
+    got_grid, got_losses = merged(grid)
+    np.testing.assert_allclose(
+        np.asarray(got_losses.mean(0)), np.asarray(ref_losses), rtol=1e-5, atol=1e-7
+    )
+    for x, y in zip(jax.tree.leaves(ref_grid.params), jax.tree.leaves(got_grid.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7)

@@ -108,3 +108,48 @@ def test_grid_training_two_models():
     assert not np.allclose(np.asarray(p0[0]), np.asarray(p0[1]))
     preds = evaluate(grid2, videos_m)
     assert preds.shape == (m, videos.shape[0], 1)
+
+
+def test_multi_cycle_merged_scan_matches_per_model():
+    """The fused multi-model cycle (ONE merged scan stepping every model,
+    train.multi) must reproduce the per-model train_cycle update sequence
+    bit-for-bit: identical key derivation (fold_in(k_train, i) -> split),
+    identical permutations, identical dropout keys."""
+    from moleculardiffusion_mivit_tpu.train.loop import make_train_impls
+    from moleculardiffusion_mivit_tpu.train.multi import make_multi_cycle
+
+    models = {
+        "tr": GeneralTransformer(SMALL_MODEL.replace(dropout=0.1), embedding="linear"),
+        "res": MultiImageResNet(),
+    }
+    key = jax.random.key(7)
+    videos, labels, _ = generate_cycle_data(key, SMALL_TRAIN, BASELINE_OPTICS)
+
+    init_states, cycle = make_multi_cycle(
+        models, SMALL_TRAIN, BASELINE_OPTICS, merge_scans=True
+    )
+    states = init_states(jax.random.key(1), videos[:1])
+    # reference: run each model's own train_cycle with the same derived keys
+    k_gen, k_train = jax.random.split(jax.random.key(3))
+    ref_videos, ref_labels, _ = generate_cycle_data(k_gen, SMALL_TRAIN, BASELINE_OPTICS)
+    ref_states = {}
+    for i, name in enumerate(models):
+        impls = make_train_impls(models[name], SMALL_TRAIN)
+        st, _ = jax.jit(impls.train_cycle, static_argnames=("batch_size",))(
+            states[name],
+            ref_videos,
+            ref_labels,
+            None,
+            jax.random.fold_in(k_train, i),
+            jnp.float32(1e-4),
+            8,
+        )
+        ref_states[name] = st
+
+    new_states, losses, _ = cycle(states, jax.random.key(3), jnp.float32(1e-4), 8)
+    for name in models:
+        ref_leaves = jax.tree.leaves(ref_states[name].params)
+        got_leaves = jax.tree.leaves(new_states[name].params)
+        for a, b in zip(ref_leaves, got_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        assert np.isfinite(float(losses[name]))
