@@ -230,7 +230,14 @@ class Experiment:
         once per minibatch instead of once per arm per minibatch. Permutation/
         dropout keys are derived exactly as the per-arm ``train_cycle`` would
         (fold_in(k_train, arm_index) → split), so merged and unmerged
-        execution match bit-for-bit."""
+        execution match bit-for-bit.
+
+        Timing note (hard-won): when benchmarking this program through the
+        TPU tunnel, synchronize on a freshly computed scalar of the returned
+        states (e.g. a parameter checksum). ``block_until_ready`` on the
+        donated (input-aliased) state buffers alone can return before the
+        enqueued executions actually finish, producing fake-fast readings
+        (9 ms/cycle "measured" for a program whose true cost is ~330 ms)."""
         if getattr(self, "_fused_cycle", None) is None:
 
             @functools.partial(
