@@ -153,3 +153,22 @@ def test_multi_cycle_merged_scan_matches_per_model():
         for a, b in zip(ref_leaves, got_leaves):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
         assert np.isfinite(float(losses[name]))
+
+
+def test_batch_size_schedule_doubles_and_caps():
+    """Reference schedule: batch starts at 1 and doubles every
+    `adaptive_batch_size` cycles (trainModels.py:102-108). TPU addition:
+    `max_batch_size` caps the doubling — unbounded growth (batch 128 by cycle
+    140) OOMs the 30-model vmapped PSFNoise grid on a v5e chip."""
+    cfg = TrainConfig(adaptive_batch_size=20, initial_batch_size=1, max_batch_size=64)
+    assert cfg.batch_size_for_cycle(0) == 1
+    assert cfg.batch_size_for_cycle(19) == 1
+    assert cfg.batch_size_for_cycle(20) == 2
+    assert cfg.batch_size_for_cycle(80) == 16
+    assert cfg.batch_size_for_cycle(120) == 64
+    assert cfg.batch_size_for_cycle(140) == 64  # capped (would be 128)
+    assert cfg.batch_size_for_cycle(200) == 64
+    uncapped = TrainConfig(adaptive_batch_size=20, max_batch_size=0)
+    assert uncapped.batch_size_for_cycle(140) == 128
+    fixed = TrainConfig(adaptive_batch_size=-1, fixed_batch_size=8)
+    assert fixed.batch_size_for_cycle(140) == 8
