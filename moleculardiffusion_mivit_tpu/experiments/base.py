@@ -83,6 +83,7 @@ def _data_parallel_fns(train_cycle_impl, eval_impl, mesh):
     train_cycle = jax.jit(
         train_cycle_impl,
         static_argnames=("batch_size",),
+        donate_argnums=(0,),
         in_shardings=(rep, data_s, data_s, data_s, rep, rep),
         out_shardings=(rep, rep),
     )
@@ -181,7 +182,11 @@ class Experiment:
                     self._fns[arm_name] = (sh_cycle, sh_eval)
                 else:
                     self._fns[arm_name] = (
-                        jax.jit(train_cycle, static_argnames=("batch_size",)),
+                        jax.jit(
+                            train_cycle,
+                            static_argnames=("batch_size",),
+                            donate_argnums=(0,),
+                        ),
                         jax.jit(evaluate),
                     )
                 self.states[arm_name] = init_grid(
@@ -208,7 +213,11 @@ class Experiment:
                     )
                 else:
                     self._fns[arm_name] = (
-                        jax.jit(train_cycle, static_argnames=("batch_size",)),
+                        jax.jit(
+                            train_cycle,
+                            static_argnames=("batch_size",),
+                            donate_argnums=(0,),
+                        ),
                         jax.jit(evaluate),
                     )
                 self.states[arm_name] = init_state(
@@ -409,7 +418,7 @@ class Experiment:
                         bs,
                     )
 
-            if (cycle + 1) % eval_every == 0 or cycle == num_cycles - 1:
+            if (cycle + 1) % eval_every == 0 or cycle == start_cycle + num_cycles - 1:
                 cycle_avgs = self._evaluate_cycle()
                 if callback:
                     callback(cycle, cycle_avgs)

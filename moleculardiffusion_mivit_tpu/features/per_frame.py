@@ -28,8 +28,11 @@ N_PER_FRAME_FEATURES = len(PER_FRAME_FEATURE_NAMES)
 
 
 @jax.jit
-def compute_per_frame_features(trajs_avg: jax.Array, dt: float = 1.0) -> jax.Array:
-    """``(N, T, 2)`` frame-averaged positions → ``(N, T, 6)`` causal tokens."""
+def compute_per_frame_features(trajs_avg: jax.Array) -> jax.Array:
+    """``(N, T, 2)`` frame-averaged positions → ``(N, T, 6)`` causal tokens.
+
+    Features are in trajectory units per frame (displacements, not
+    velocities) — the learned embeddings absorb any constant time scaling."""
     n, t, _ = trajs_avg.shape
     disp = jnp.diff(trajs_avg, axis=1)
     disp = jnp.concatenate([jnp.zeros((n, 1, 2), trajs_avg.dtype), disp], axis=1)

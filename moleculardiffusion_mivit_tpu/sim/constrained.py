@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from moleculardiffusion_mivit_tpu.sim.trajectory import fractional_gaussian_noise
+from moleculardiffusion_mivit_tpu.sim.trajectory import (
+    fractional_gaussian_noise,
+    reflect_into_box,
+)
 
 
 def disp_fbm(
@@ -169,18 +172,13 @@ class PiecewiseLinearGeometry:
         """Per-step clamped cumulative walk along the path → 2-D positions
         (mitochnodria.py:339-380). ``displacements``: (T,) or (B, T)."""
         disp = jnp.atleast_2d(jnp.asarray(displacements, jnp.float32))
-        start = jnp.clip(jnp.float32(initial_distance), 0.0, self.total_length)
-
-        def step(carry, d):
-            new = jnp.clip(carry + d, 0.0, self.total_length)
-            return new, new
-
-        def walk(one):
-            _, dists = jax.lax.scan(step, start, one)
-            return dists
-
-        dists = jax.vmap(walk)(disp)  # (B, T)
-        pos = self.position_at_distance(dists)
+        pos = _walk_and_lerp(
+            jnp.asarray(self.vertices),
+            jnp.asarray(self.lengths),
+            jnp.asarray(self.cum_lengths),
+            disp,
+            jnp.float32(initial_distance),
+        )
         return pos if displacements.ndim > 1 else pos[0]
 
     def simulate(
@@ -214,14 +212,12 @@ class PiecewiseLinearGeometry:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("n_particles", "T"))
-def _simulate_on_path(
-    key, vertices, lengths, cum_lengths, n_particles, T, D, alpha, delta_t, initial_distance
-):
+def _walk_and_lerp(vertices, lengths, cum_lengths, disp, initial_distance):
+    """Clamped cumulative arclength walk + edge lerp — the single source of
+    truth for the path-walk semantics (mitochnodria.py:339-380): per-step
+    clamp into [0, total_length], then ``side='right'`` searchsorted edge
+    lookup and linear interpolation. ``disp``: (B, T) → positions (B, T, 2)."""
     total_length = cum_lengths[-1]
-    disp = fractional_gaussian_noise(key, alpha / 2.0, T, n_particles) * jnp.sqrt(
-        2.0 * D * delta_t
-    )
     start = jnp.clip(initial_distance, 0.0, total_length)
 
     def step(carry, d):
@@ -239,11 +235,21 @@ def _simulate_on_path(
     return vertices[edge] + t[..., None] * (vertices[edge + 1] - vertices[edge])
 
 
+@functools.partial(jax.jit, static_argnames=("n_particles", "T"))
+def _simulate_on_path(
+    key, vertices, lengths, cum_lengths, n_particles, T, D, alpha, delta_t, initial_distance
+):
+    disp = fractional_gaussian_noise(key, alpha / 2.0, T, n_particles) * jnp.sqrt(
+        2.0 * D * delta_t
+    )
+    return _walk_and_lerp(vertices, lengths, cum_lengths, disp, initial_distance)
+
+
 def _reflect_into(x, low, high):
-    """Fold a coordinate into [low, high] by reflection (triangle wave)."""
-    span = high - low
-    y = jnp.mod(x - low, 2.0 * span)
-    return low + span - jnp.abs(y - span)
+    """Fold a coordinate into [low, high] by reflection (triangle wave) —
+    the shifted form of ``trajectory.reflect_into_box`` (single source of
+    truth for the reflection map)."""
+    return low + reflect_into_box(x - low, high - low)
 
 
 @functools.partial(jax.jit, static_argnames=("n_particles", "T"))

@@ -56,11 +56,12 @@ def brownian_motion(
     sigma = jnp.sqrt(2.0 * jnp.asarray(D, jnp.float32) * dt / nposframe)
     sigma = jnp.broadcast_to(sigma, (nparticles,))[:, None, None]
     steps = jax.random.normal(key, (nparticles, num_steps, 2), jnp.float32) * sigma
-    if start_at_zero:
-        steps = steps.at[:, 0, :].set(0.0)
     if drift is not None:
         v = jnp.broadcast_to(jnp.asarray(drift, jnp.float32), (nparticles, 2))
         steps = steps + v[:, None, :] * (dt / nposframe)
+    if start_at_zero:
+        # zero the first step LAST so position[0] == (0, 0) also under drift
+        steps = steps.at[:, 0, :].set(0.0)
     return jnp.cumsum(steps, axis=1)
 
 

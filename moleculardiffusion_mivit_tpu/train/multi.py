@@ -78,11 +78,24 @@ def make_multi_cycle(
     names = list(models)
 
     @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
-    def cycle(states, key, lr, batch_size: int, val_videos=None, val_targets=None):
+    def cycle(
+        states,
+        key,
+        lr,
+        batch_size: int,
+        val_videos=None,
+        val_targets=None,
+        val_features=None,
+    ):
         k_gen, k_train = jax.random.split(key)
         videos, labels, feats = generate_cycle_data(k_gen, train_cfg, optics, with_features)
         n = videos.shape[0]
         steps = n // batch_size
+
+        def val_pred(name, st):
+            if with_features:
+                return impls[name].evaluate(st, val_videos, val_features)
+            return impls[name].evaluate(st, val_videos)
 
         if not merge_scans:
             new_states, losses, val_mse = {}, {}, {}
@@ -99,7 +112,7 @@ def make_multi_cycle(
                 new_states[name] = st
                 losses[name] = loss
                 if val_videos is not None:
-                    preds = impls[name].evaluate(st, val_videos)
+                    preds = val_pred(name, st)
                     val_mse[name] = jnp.mean((preds - val_targets) ** 2)
             return new_states, losses, val_mse
 
@@ -139,7 +152,7 @@ def make_multi_cycle(
         val_mse = {}
         if val_videos is not None:
             for i, name in enumerate(names):
-                preds = impls[name].evaluate(new_states[name], val_videos)
+                preds = val_pred(name, new_states[name])
                 val_mse[name] = jnp.mean((preds - val_targets) ** 2)
         return new_states, losses, val_mse
 

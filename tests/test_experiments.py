@@ -206,6 +206,7 @@ def test_fused_merged_scan_matches_unmerged():
         )
 
     exp_merged = make()
+    exp_merged.merge_scans = True
     exp_unmerged = make()
     exp_unmerged.merge_scans = False
     exp_merged.build(jax.random.key(42))

@@ -172,3 +172,34 @@ def test_batch_size_schedule_doubles_and_caps():
     assert uncapped.batch_size_for_cycle(140) == 128
     fixed = TrainConfig(adaptive_batch_size=-1, fixed_batch_size=8)
     assert fixed.batch_size_for_cycle(140) == 8
+
+
+def test_multi_cycle_with_features_validation():
+    """make_multi_cycle with feature-fusion models must evaluate validation
+    with features (regression: the val path used to drop them, which raises
+    for use_global_features models)."""
+    from moleculardiffusion_mivit_tpu.train.multi import make_multi_cycle
+
+    models = {
+        "mivit": GeneralTransformer(
+            SMALL_MODEL, embedding="linear", use_global_features=True, fusion_type="early"
+        ),
+    }
+    videos, labels, feats = generate_cycle_data(
+        jax.random.key(0), SMALL_TRAIN, BASELINE_OPTICS, with_features=True
+    )
+    init_states, cycle = make_multi_cycle(
+        models, SMALL_TRAIN, BASELINE_OPTICS, with_features=True
+    )
+    states = init_states(jax.random.key(1), videos[:1], feats[:1])
+    new_states, losses, val_mse = cycle(
+        states,
+        jax.random.key(2),
+        jnp.float32(1e-4),
+        8,
+        videos[:4],
+        labels[:4] * SMALL_TRAIN.d_max_normalization,
+        feats[:4],
+    )
+    assert np.isfinite(float(val_mse["mivit"]))
+    assert np.isfinite(float(losses["mivit"]))

@@ -139,3 +139,19 @@ def test_confined_single_state_reflecting_box():
     # L=0 stays the free-diffusion path (reference's only usage)
     free, _ = single_state(jax.random.key(3), 8, 50, Ds=(1.0, 0.0), L=0.0)
     assert np.asarray(free).min() < 0.0
+
+
+def test_drift_with_start_at_zero_begins_at_origin():
+    """start_at_zero zeroes the FIRST position even when drift is active
+    (the drift increment must not be re-added to the zeroed step)."""
+    from moleculardiffusion_mivit_tpu.sim import brownian_motion
+
+    bm = np.asarray(
+        brownian_motion(
+            jax.random.key(5), 8, 4, 5, 1.0, dt=1.0, start_at_zero=True, drift=(2.0, -1.0)
+        )
+    )
+    np.testing.assert_allclose(bm[:, 0, :], 0.0, atol=0.0)
+    # subsequent steps still carry the drift: mean step ~ v*dt/nposframe
+    step_mean = np.diff(bm, axis=1).mean(axis=(0, 1))
+    np.testing.assert_allclose(step_mean, [2.0 / 5, -1.0 / 5], atol=0.15)
