@@ -13,8 +13,11 @@ This demo reproduces the regime end-to-end and puts numbers on it:
    split (the training augmentation applied with a held-out key), plus
    unmixed constant-D controls;
 3. run ``evaluation.detect_change_points`` on the per-frame predictions and
-   report detection rate (score threshold), false-positive rate on controls,
-   and the split-localization error |detected − true| in frames.
+   report ROC AUC (mixed vs control scores), the detection rate at a
+   threshold calibrated to 5% false positives on the constant-D controls
+   (the max-over-splits statistic is ~3 on pure noise, so a fixed absolute
+   threshold misleads), and the split-localization error |detected − true|
+   in frames.
 
 Usage: python examples/sequence_changepoint_demo.py [--cycles 60] [--out results/changepoint_demo]
 """
@@ -34,7 +37,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cycles", type=int, default=60)
     ap.add_argument("--model", type=str, default="deepcnn_2layer_s")
-    ap.add_argument("--score-threshold", type=float, default=2.0)
+    ap.add_argument(
+        "--score-threshold",
+        type=float,
+        default=None,
+        help="absolute score threshold; default: 95th percentile of the "
+        "constant-D control scores (5%% false-positive calibration)",
+    )
     ap.add_argument("--out", type=str, default="results/changepoint_demo")
     args = ap.parse_args()
 
@@ -80,8 +89,13 @@ def main():
     _, score_c = detect_change_points(jnp.asarray(preds_const))
     split_m, score_m, score_c = map(np.asarray, (split_m, score_m, score_c))
 
+    # ROC AUC: P(score_mixed > score_control) over all pairs
+    sm = score_m[has_transition]
+    auc = float((sm[:, None] > score_c[None, :]).mean())
     thr = args.score_threshold
-    det_rate = float((score_m[has_transition] > thr).mean())
+    if thr is None:
+        thr = float(np.percentile(score_c, 95.0))
+    det_rate = float((sm > thr).mean())
     fp_rate = float((score_c > thr).mean())
     hit = has_transition & (score_m > thr)
     loc_err = np.abs(split_m[hit] - true_split[hit])
@@ -90,7 +104,8 @@ def main():
         "cycles": args.cycles,
         "n_mixed": int(has_transition.sum()),
         "n_controls": int(len(score_c)),
-        "score_threshold": thr,
+        "roc_auc": round(auc, 3),
+        "score_threshold": round(thr, 2),
         "detection_rate": round(det_rate, 3),
         "false_positive_rate": round(fp_rate, 3),
         "median_split_error_frames": float(np.median(loc_err)) if len(loc_err) else None,
@@ -98,6 +113,18 @@ def main():
         "mean_score_mixed": round(float(score_m[has_transition].mean()), 2),
         "mean_score_const": round(float(score_c.mean()), 2),
     }
+    # detection rate by D-contrast: adjacent classes (|ΔD| = 2) are
+    # intrinsically harder than e.g. 1 ↔ 7 jumps
+    contrast = np.abs(ml[:, -1] - ml[:, 0])
+    by_contrast = {}
+    for dd in sorted(set(np.round(contrast[has_transition]).astype(int))):
+        sel = has_transition & (np.round(contrast).astype(int) == dd)
+        by_contrast[f"dD={dd}"] = {
+            "n": int(sel.sum()),
+            "detection_rate": round(float((score_m[sel] > thr).mean()), 3),
+            "mean_score": round(float(score_m[sel].mean()), 2),
+        }
+    result["by_contrast"] = by_contrast
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "changepoint_metrics.json"), "w") as f:
         json.dump(result, f, indent=2)
