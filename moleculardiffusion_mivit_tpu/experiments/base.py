@@ -130,6 +130,10 @@ class Experiment:
         # False: on-chip A/B showed the merged variant ~15% slower at batch 1
         # and neutral at batch 16 (see train.multi.make_multi_cycle docs).
         self.merge_scans = False
+        # background-compile future batch regimes while training (see
+        # _start_precompile); donation-safe because the warmer owns its
+        # throwaway states
+        self.precompile_schedule = True
         self._mesh = None
 
     def use_mesh(self, mesh) -> "Experiment":
@@ -393,6 +397,18 @@ class Experiment:
         num_cycles = num_cycles if num_cycles is not None else self.train_cfg.num_cycles
         key = jax.random.key(self.train_cfg.seed + 1)
 
+        warm_thread = None
+        if self.fused_cycles and self.precompile_schedule:
+            regimes = []
+            seen = set()
+            for c in range(start_cycle, start_cycle + num_cycles):
+                b = self.train_cfg.batch_size_for_cycle(c)
+                if b not in seen:
+                    seen.add(b)
+                    regimes.append(b)
+            if len(regimes) > 1:
+                warm_thread = self._start_precompile(regimes[1:])
+
         for cycle in range(start_cycle, start_cycle + num_cycles):
             k_cycle = jax.random.fold_in(key, cycle)
             k_gen, k_train = jax.random.split(k_cycle)
@@ -430,7 +446,44 @@ class Experiment:
                 from moleculardiffusion_mivit_tpu.utils.checkpoint import save_experiment
 
                 save_experiment(self, f"{checkpoint_dir}/{self.name}_cycle{cycle}")
+        if warm_thread is not None:
+            warm_thread.join(timeout=0.1)  # normally long done; never block exit
         return self.states, self.history
+
+    def _start_precompile(self, batch_sizes):
+        """Speculatively compile the fused cycle for FUTURE batch regimes in
+        a background thread while training runs the current one.
+
+        The adaptive doubling schedule changes the static ``batch_size`` at
+        fixed cycle boundaries; each change recompiles the fused program —
+        ~50 s per regime through the TPU tunnel for the 7-model baseline
+        (~190 s of a 250 s run), and the tunnel's persistent compilation
+        cache does NOT function for the axon backend (verified: identical
+        programs recompile in fresh processes). Compilation happens
+        tunnel-side and overlaps with on-chip execution, so warming each
+        future regime on throwaway zero states hides the stalls; the one
+        dummy execution per regime interleaves ~a cycle's cost. If the main
+        loop reaches a regime mid-compile it blocks on jax's in-progress
+        compilation for that signature — never compiles twice."""
+        import threading
+
+        fused = self._fused_cycle_fn()
+        dummy = jax.tree.map(jnp.zeros_like, self.states)
+        lr = jnp.float32(self.train_cfg.lr)
+
+        def warm():
+            states = dummy
+            k = jax.random.key(0)
+            for bs in batch_sizes:
+                try:
+                    states = fused(states, k, k, lr, bs)
+                except Exception:  # never take down training from the warmer
+                    return
+            jax.block_until_ready(jax.tree.leaves(states))
+
+        t = threading.Thread(target=warm, name="fused-cycle-precompile", daemon=True)
+        t.start()
+        return t
 
     def _combined_val(self):
         """Concatenate the per-D validation dicts into one batch so each arm

@@ -277,3 +277,37 @@ def test_grid_train_step_matches_train_cycle():
     )
     for x, y in zip(jax.tree.leaves(ref_grid.params), jax.tree.leaves(got_grid.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7)
+
+
+def test_precompile_schedule_preserves_results():
+    """Speculative background compilation of future batch regimes
+    (Experiment._start_precompile) must not change training: histories match
+    a run with precompilation disabled exactly (the warmer only touches
+    throwaway zero states)."""
+
+    def make():
+        exp = get_experiment(
+            "psfnoise",
+            sequences_per_d=8,
+            val_length=6,
+            psf_settings=(2.0,),
+            noise_settings=(0.0,),
+            val_d_values=(1.0, 5.0),
+        )
+        # force a batch-regime change inside a short run
+        exp.train_cfg = exp.train_cfg.replace(
+            adaptive_batch_size=2, initial_batch_size=2
+        )
+        return exp
+
+    exp_a = make()
+    exp_b = make()
+    exp_b.precompile_schedule = False
+    exp_a.build(jax.random.key(1))
+    exp_b.build(jax.random.key(1))
+    exp_a.run(num_cycles=4)
+    exp_b.run(num_cycles=4)
+    for name in exp_a.history:
+        np.testing.assert_allclose(
+            exp_a.history[name]["val_avg"], exp_b.history[name]["val_avg"], rtol=1e-6
+        )
