@@ -35,10 +35,18 @@ def main():
     ap.add_argument("--n", type=int, default=256, help="sequences per cycle")
     ap.add_argument("--d-low", type=float, default=0.1)
     ap.add_argument("--d-high", type=float, default=8.0)
+    ap.add_argument("--embed-dim", type=int, default=None, help="override model width")
+    ap.add_argument("--layers", type=int, default=None, help="override encoder depth")
     args = ap.parse_args()
 
     train_cfg = TrainConfig(seed=0, adaptive_batch_size=20, initial_batch_size=1)
     model_cfg = ModelConfig(use_pos_encoding=False)
+    if args.embed_dim:
+        model_cfg = model_cfg.replace(
+            embed_dim=args.embed_dim, hidden_dim=2 * args.embed_dim
+        )
+    if args.layers:
+        model_cfg = model_cfg.replace(num_layers=args.layers)
     optics = BASELINE_OPTICS
     p, f = train_cfg.n_pos_per_frame, train_cfg.n_frames
 
