@@ -142,11 +142,19 @@ class Experiment:
         'model' axis and their batch over 'data' (``parallel.steps``);
         single-model arms replicate parameters and shard the batch over the
         whole mesh (pure data parallelism — the gradient mean becomes a psum
-        over ICI). Cycle fusion is disabled in mesh mode: each arm's program
-        carries its own sharding annotations."""
+        over ICI). The fused single-dispatch cycle stays ON: the one compiled
+        program per cycle carries per-arm sharding annotations (generation
+        born sharded, grid states ``P('model')``, single-model states
+        replicated), so mesh mode keeps the round-2 dispatch win.
+
+        Schedule interaction: a minibatch gather from the batch-sharded data
+        is resharded by XLA per step, so *any* batch size (including the
+        schedule's early batch-1 cycles) is correct on a mesh; batch sizes
+        that are a multiple of the data-axis size additionally avoid
+        cross-shard traffic for single-model arms (see
+        tests/test_parallel.py::test_experiment_mesh_fused_cycle_batch1)."""
         assert not self._built, "use_mesh must be called before build()"
         self._mesh = mesh
-        self.fused_cycles = False
         return self
 
     @property
@@ -245,6 +253,14 @@ class Experiment:
         (fold_in(k_train, arm_index) → split), so merged and unmerged
         execution match bit-for-bit.
 
+        In mesh mode (``use_mesh``) the same program is jitted with per-arm
+        shardings: grid states/outputs ``P('model')``, single-model states
+        replicated, and every arm's sliced data constrained to its mesh
+        layout (``P('model','data')`` for grids, batch over the whole mesh
+        for single models) — generation partitions backward from those
+        constraints (threefry is partitionable), so data is born sharded
+        inside the one compiled cycle.
+
         Timing note (hard-won): when benchmarking this program through the
         TPU tunnel, synchronize on a freshly computed scalar of the returned
         states (e.g. a parameter checksum). ``block_until_ready`` on the
@@ -252,11 +268,37 @@ class Experiment:
         enqueued executions actually finish, producing fake-fast readings
         (9 ms/cycle "measured" for a program whose true cost is ~330 ms)."""
         if getattr(self, "_fused_cycle", None) is None:
+            mesh = self._mesh
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep_s = NamedSharding(mesh, P())
+                grid_state_s = NamedSharding(mesh, P("model"))
+                grid_data_s = NamedSharding(mesh, P("model", "data"))
+                dp_data_s = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+                state_shardings = {
+                    arm_name: grid_state_s if isinstance(arm, GridArm) else rep_s
+                    for arm_name, arm in self.arms.items()
+                    if isinstance(arm, GridArm) or arm.model is not None
+                }
+                jit_kwargs = dict(
+                    in_shardings=(state_shardings, rep_s, rep_s, rep_s),
+                    out_shardings=state_shardings,
+                )
+            else:
+                jit_kwargs = {}
+
+            def _constrain(x, s):
+                if mesh is None or x is None:
+                    return x
+                return jax.lax.with_sharding_constraint(x, s)
 
             @functools.partial(
-                jax.jit, static_argnames=("batch_size",), donate_argnums=(0,)
+                jax.jit, static_argnames=("batch_size",), donate_argnums=(0,), **jit_kwargs
             )
             def fused(states, k_gen, k_train, lr, batch_size: int):
+                import warnings
+
                 data = self.generate_fn(k_gen)
                 new_states = dict(states)
                 groups: Dict[int, list] = {}
@@ -264,7 +306,19 @@ class Experiment:
                     if isinstance(arm, ModelEntry) and arm.model is None:
                         continue
                     videos, feats, labels = arm.slice_fn(data)
+                    if mesh is not None:
+                        s = grid_data_s if isinstance(arm, GridArm) else dp_data_s
+                        videos = _constrain(videos, s)
+                        labels = _constrain(labels, s)
+                        feats = _constrain(feats, s)
                     n = videos.shape[1] if isinstance(arm, GridArm) else videos.shape[0]
+                    if n // batch_size == 0:
+                        warnings.warn(
+                            f"experiment '{self.name}', arm '{arm_name}': batch size "
+                            f"{batch_size} exceeds the per-cycle dataset size {n}; the "
+                            "arm takes ZERO optimizer steps this regime (history keeps "
+                            "recording). Lower max_batch_size or raise sequences_per_d."
+                        )
                     groups.setdefault(n // batch_size, []).append(
                         (j, arm_name, arm, videos, feats, labels)
                     )
@@ -477,7 +531,16 @@ class Experiment:
             for bs in batch_sizes:
                 try:
                     states = fused(states, k, k, lr, bs)
-                except Exception:  # never take down training from the warmer
+                except Exception as e:  # never take down training from the warmer
+                    # but never die silently either: a broken warmer reinstates
+                    # the ~190 s of recompile stalls it exists to hide.
+                    import warnings
+
+                    warnings.warn(
+                        f"speculative precompile for batch regime {bs} failed "
+                        f"({type(e).__name__}: {e}); the main loop will compile "
+                        "it synchronously when the schedule reaches it"
+                    )
                     return
             jax.block_until_ready(jax.tree.leaves(states))
 
@@ -526,7 +589,10 @@ class Experiment:
         bounds = np.cumsum([0] + sizes)
         spans = [(int(bounds[di]), int(bounds[di + 1]), float(d)) for di, d in enumerate(ds)]
 
-        if not hasattr(self, "_per_d_mse_jit"):
+        # cache keyed on the span layout: a rebuilt/changed validation set
+        # (different spans) gets a fresh jit instead of stale baked-in bounds
+        spans_key = tuple(spans)
+        if getattr(self, "_per_d_mse_key", None) != spans_key:
 
             def _per_d_mse(preds, batch_axis: int):
                 out = []
@@ -538,6 +604,7 @@ class Experiment:
                 return jnp.stack(out, axis=-1)  # (n_d,) or (M, n_d)
 
             self._per_d_mse_jit = jax.jit(_per_d_mse, static_argnums=(1,))
+            self._per_d_mse_key = spans_key
         per_d_mse = self._per_d_mse_jit
 
         # dispatch every arm's prediction + on-device reduction, then fetch

@@ -223,6 +223,98 @@ def test_fused_generation_program_born_sharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-4)
 
 
+def _mixed_experiment(n_grid=4, seed=0):
+    """A minimal experiment with BOTH arm kinds sharing one generated
+    dataset: a 4-model GridArm (stacked transformers) and a single-model
+    ModelEntry — the composition the Experiment-level fused+sharded cycle
+    must handle."""
+    from moleculardiffusion_mivit_tpu.experiments.base import (
+        Experiment,
+        GridArm,
+        ModelEntry,
+    )
+
+    train_cfg = _small_train_cfg(8).replace(seed=seed)  # 16 seqs/cycle, batch-1 start
+    grid_model = GeneralTransformer(ModelConfig(dropout=0.1, **SMALL_CFG), embedding="linear")
+    single_model = GeneralTransformer(ModelConfig(**SMALL_CFG), embedding="cnn")
+
+    def generate_fn(key):
+        videos, labels, _ = generate_cycle_data(key, train_cfg, BASELINE_OPTICS)
+        return {"videos": videos, "labels": labels}
+
+    def grid_slice(data):
+        v = jnp.broadcast_to(data["videos"][None], (n_grid,) + data["videos"].shape)
+        lab = jnp.broadcast_to(data["labels"][None], (n_grid,) + data["labels"].shape)
+        return v, None, lab
+
+    def single_slice(data):
+        return data["videos"], None, data["labels"]
+
+    arms = {
+        "grid": GridArm(
+            model=grid_model, names=[f"g{i}" for i in range(n_grid)], slice_fn=grid_slice
+        ),
+        "single": ModelEntry(model=single_model, slice_fn=single_slice),
+    }
+    val_data = {}
+    for d in (1.0, 5.0):
+        v, _, _ = generate_cycle_data(
+            jax.random.key(seed + int(d) + 100),
+            train_cfg.replace(training_ds=((d, 1),), sequences_per_d=4),
+            BASELINE_OPTICS,
+        )
+        val_data[d] = {"videos": v, "labels": jnp.zeros((v.shape[0], 1))}
+    return Experiment("mixed", train_cfg, BASELINE_OPTICS, arms, generate_fn, val_data)
+
+
+def test_experiment_mesh_fused_cycle_batch1():
+    """The round-3 composition: ``use_mesh`` keeps the fused single-dispatch
+    cycle. One fused+sharded cycle on the 2×4 mesh — mixed GridArm +
+    ModelEntry, batch size 1 (the schedule's early regime, NOT divisible by
+    the data axis) — matches the unsharded fused cycle within cross-shard
+    reduction-order tolerance, and grid state stays sharded throughout."""
+    exp_ref = _mixed_experiment()
+    exp_mesh = _mixed_experiment()
+    exp_mesh.use_mesh(make_mesh(data=2, model=4))
+    assert exp_mesh.fused_cycles, "use_mesh must keep the fused cycle on"
+    exp_ref.precompile_schedule = exp_mesh.precompile_schedule = False
+
+    _, hist_ref = exp_ref.run(num_cycles=1)
+    _, hist_mesh = exp_mesh.run(num_cycles=1)
+
+    leaf = jax.tree.leaves(exp_mesh.states["grid"].params)[0]
+    assert not leaf.sharding.is_fully_replicated, "grid params must stay sharded"
+    rep_leaf = jax.tree.leaves(exp_mesh.states["single"].params)[0]
+    assert rep_leaf.sharding.is_fully_replicated, "single-model params replicate"
+
+    # Same tolerance rationale as test_sharded_matches_unsharded_early_fusion:
+    # Adam's sign-like early updates bound per-element divergence at O(lr) per
+    # step (16 batch-1 steps here); structural sharding bugs are O(weight).
+    lr = 1e-4
+    for arm in ("grid", "single"):
+        for a, b in zip(
+            jax.tree.leaves(exp_mesh.states[arm].params),
+            jax.tree.leaves(exp_ref.states[arm].params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=20 * lr)
+    for name in exp_ref.model_names:
+        np.testing.assert_allclose(
+            hist_mesh[name]["val_avg"], hist_ref[name]["val_avg"], rtol=0.05, atol=1e-3
+        )
+
+
+def test_experiment_mesh_fused_precompile_warmer():
+    """The speculative batch-regime precompile stays alive in mesh mode: a
+    run crossing a doubling boundary spawns the warmer and both regimes
+    produce finite metrics."""
+    exp = _mixed_experiment()
+    exp.train_cfg = exp.train_cfg.replace(adaptive_batch_size=2)  # 1→2 at cycle 2
+    exp.use_mesh(make_mesh(data=2, model=4))
+    assert exp.fused_cycles and exp.precompile_schedule
+    _, hist = exp.run(num_cycles=3)
+    assert all(np.isfinite(h["val_avg"]).all() for h in hist.values())
+
+
 def test_experiment_use_mesh_baseline_and_grid():
     """Mesh-sharded Experiment engine: a ModelEntry experiment (pure DP,
     params replicated, batch sharded over all 8 devices) and a GridArm
