@@ -72,10 +72,13 @@ def build(
     val_length: int = 30,
     val_d_values=(1.0, 3.0, 5.0, 7.0, 9.0),
 ) -> Experiment:
+    # Training D list incl. the half-count (10.2, 1) tail class — the
+    # reference's committed list (trainModelsFramerate.py:45; N//2 at :127)
+    # covers the top of the 0.1..10.0 evaluation sweep.
     train_cfg = TrainConfig(
         seed=seed,
         sequences_per_d=sequences_per_d,
-        training_ds=((1, 1), (3, 1), (5, 1), (7, 1), (9, 1)),
+        training_ds=((1, 1), (3, 1), (5, 1), (7, 1), (9, 1), (10.2, 1)),
         n_frames=val_length,
         n_pos_per_frame=ORIGINAL_N_POS,
     )
@@ -104,8 +107,9 @@ def build(
     def generate_fn(key):
         all_videos, all_labels = [], []
         for i, ds in enumerate(train_cfg.training_ds):
+            n = sequences_per_d if ds[0] != 10.2 else sequences_per_d // 2
             k_sim, k_render = jax.random.split(jax.random.fold_in(key, i))
-            trajs, labels = single_state(k_sim, sequences_per_d, t, Ds=tuple(ds))
+            trajs, labels = single_state(k_sim, n, t, Ds=tuple(ds))
             trajs = trajs / train_cfg.traj_div_factor
             all_videos.append(render_framerate_stack(k_render, trajs, optics, rates))
             all_labels.append(labels[:, :1, 1] / train_cfg.d_max_normalization)

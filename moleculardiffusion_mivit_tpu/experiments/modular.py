@@ -2,18 +2,27 @@
 built but never trained (helpers/models.py:366-593; no committed training
 script uses it).
 
-Three arms share one generated dataset (videos + per-frame kinematic feature
-tokens of the frame-averaged trajectory, ``features.compute_per_frame_features``):
+Five arms — every mode × fusion configuration the reference defined — share
+one generated dataset (videos + per-frame kinematic feature tokens of the
+frame-averaged trajectory, ``features.compute_per_frame_features``):
 
 - ``mod_images``: mode="images_only" — sanity arm, architecturally the
   image-only transformer;
+- ``mod_features``: mode="features_only" (models.py:443-449 analog) — the
+  per-frame feature tokens alone, no images;
 - ``mod_both_add``: mode="both", per-frame feature tokens embedded by a
   2-layer MLP and ADDED to the image tokens (models.py:452-455 analog);
 - ``mod_both_concat``: mode="both", fusion_method="concat_proj" — concat +
-  learned projection back to embed_dim (models.py:427-439).
+  learned projection back to embed_dim (models.py:427-439);
+- ``mod_both_concat_feat``: mode="both", fusion_method="concat_features" —
+  image embedding shrunk to embed_dim − features_dim and the RAW feature
+  values concatenated into each token (models.py:427-439, the shrunk-image
+  branch).
 
-Protocol mirrors the short Denoising regime: 10 cycles by default, standard
-optics/Ds, eval on the frozen val sets at D ∈ {1, 3, 5, 7}.
+Default protocol mirrors the short Denoising regime (10 cycles); the
+round-3 converged study runs the full reference protocol (100 cycles,
+``--in-order``) to answer the question the reference never could: do
+per-frame feature tokens beat image-only at convergence?
 """
 
 from __future__ import annotations
@@ -50,6 +59,7 @@ def build(
     val_length: int = 30,
     val_d_values=(1.0, 3.0, 5.0, 7.0),
     num_cycles: int = 10,
+    with_in_order: bool = False,
 ) -> Experiment:
     train_cfg = TrainConfig(
         seed=seed,
@@ -79,11 +89,24 @@ def build(
 
     arms = {
         "mod_images": ModelEntry(model=modular("images_only", "add"), slice_fn=im_slice),
+        # features_only ignores the image argument inside the model; the arm
+        # still receives videos so every arm shares one generated dataset.
+        "mod_features": ModelEntry(
+            model=modular("features_only", "add"), slice_fn=both_slice, with_features=True
+        ),
         "mod_both_add": ModelEntry(
             model=modular("both", "add"), slice_fn=both_slice, with_features=True
         ),
         "mod_both_concat": ModelEntry(
             model=modular("both", "concat_proj"), slice_fn=both_slice, with_features=True
+        ),
+        # concat_features requires embed_dim (64) > features_dim (6): image
+        # tokens are embedded into 58 dims and the raw feature values fill
+        # the remaining 6 (models.py:427-439).
+        "mod_both_concat_feat": ModelEntry(
+            model=modular("both", "concat_features"),
+            slice_fn=both_slice,
+            with_features=True,
         ),
     }
 
@@ -115,4 +138,18 @@ def build(
             vdata["labels"] = None
             val_data[d] = vdata
 
-    return Experiment("modular", train_cfg, optics, arms, generate_fn, val_data)
+    in_order = None
+    if with_in_order and "valTrajsInOrder" in frozen:
+        from moleculardiffusion_mivit_tpu.evaluation import IN_ORDER_D_VALUES
+
+        arr = frozen["valTrajsInOrder"]
+        n_d, n_particles = arr.shape[:2]
+        flat = (
+            jnp.asarray(arr, jnp.float32).reshape(n_d * n_particles, arr.shape[2], 2)
+            / train_cfg.traj_div_factor
+        )
+        in_order = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
+        in_order["labels"] = None
+        in_order["d_values"] = IN_ORDER_D_VALUES[:n_d]
+
+    return Experiment("modular", train_cfg, optics, arms, generate_fn, val_data, in_order)
