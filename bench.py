@@ -100,6 +100,11 @@ def main():
     ex_videos, _, _ = generate_cycle_data(key, train_cfg, BASELINE_OPTICS)
     init_states, cycle = make_multi_cycle(models, train_cfg, BASELINE_OPTICS)
     states = init_states(key, ex_videos[:1])
+    # aval snapshot for FLOP accounting — taken before donation invalidates
+    # the state buffers; lower() needs only shapes/dtypes
+    states_avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), states
+    )
 
     def run_cycle(cycle_idx):
         nonlocal states
@@ -119,6 +124,29 @@ def main():
     jax.block_until_ready(r)
     elapsed = time.perf_counter() - t0
 
+    # the benchmark must not go green on a diverged/NaN run
+    val_final = {k: float(v) for k, v in r.items()}
+    assert all(
+        v == v and abs(v) < 1e6 for v in val_final.values()
+    ), f"non-finite/diverged validation MSE: {val_final}"
+
+    # Hardware-utilization accounting: FLOPs of the whole fused cycle
+    # program (XLA cost model of the lowered module — no recompile), achieved
+    # FLOP/s and fraction of the chip's bf16 peak.
+    from moleculardiffusion_mivit_tpu.utils import compiled_flops, utilization
+
+    cycle_seconds = elapsed / args.cycles
+    flops = compiled_flops(
+        cycle,
+        states_avals,
+        key,
+        jnp.float32(train_cfg.lr),
+        args.batch_size,
+        val_concat,
+        val_targets,
+    )
+    util = utilization(flops, cycle_seconds)
+
     seqs_per_sec = n_seq * args.cycles / elapsed
     result = {
         "metric": "sim+train sequences/sec/chip (baseline experiment cycle: "
@@ -127,6 +155,9 @@ def main():
         "value": round(seqs_per_sec, 2),
         "unit": "sequences/sec",
         "vs_baseline": round(seqs_per_sec / REFERENCE_SEQS_PER_SEC, 2),
+        "flops_per_cycle": util["flops"],
+        "achieved_tflops": util["achieved_tflops"],
+        "mfu_pct": util["mfu_pct"],
     }
     if not args.json_only:
         print(

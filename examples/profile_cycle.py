@@ -150,6 +150,17 @@ def main(argv=None):
         breakdown["generate"] + breakdown["train_total"] + breakdown["eval_total"]
     )
     breakdown["fused_seqs_per_sec"] = n_seq / breakdown["fused_cycle"]
+
+    # Utilization accounting: XLA-counted FLOPs of the whole fused cycle
+    # program, achieved FLOP/s at the measured steady-state time, and the
+    # fraction of the chip's bf16 peak (MFU).
+    from moleculardiffusion_mivit_tpu.utils import compiled_flops, utilization
+
+    avals = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), mstates)
+    flops = compiled_flops(
+        cycle, avals, key, jnp.float32(1e-4), args.batch_size, val_concat, val_targets
+    )
+    breakdown["utilization"] = utilization(flops, breakdown["fused_cycle"])
     print(json.dumps(breakdown, indent=2))
 
 

@@ -642,25 +642,35 @@ class Experiment:
         return cycle_avgs
 
     # -- poster-style scoring --------------------------------------------
-    def in_order_error_tables(self) -> Dict[str, Dict[str, float]]:
-        """Evaluate every arm on the in-order D sweep and score it the poster
-        way (mse of pred−true, std/4) — train_resultsPSFNoise.ipynb cell 10."""
-        from moleculardiffusion_mivit_tpu.evaluation import error_table
+    def in_order_predictions(self) -> Dict[str, Any]:
+        """Per-sequence predictions of every model on the in-order D sweep,
+        reshaped ``(n_d, n_particles)`` in physical D units — the raw
+        material of the analysis notebooks' prediction-vs-D curves and error
+        violins (train_resultsImagesFeatures.ipynb cells 8-9)."""
+        import numpy as np
 
         assert self.in_order_data is not None, "experiment has no in-order sweep"
         d_values = self.in_order_data["d_values"]
-        out = {}
+        n_d = len(d_values)
+        out: Dict[str, Any] = {}
         for arm_name, arm in self.arms.items():
             if isinstance(arm, GridArm):
                 # one (chunked) grid evaluation covers every member model
                 preds = self._grid_predictions(arm_name, arm, self.in_order_data)
                 for mi, mname in enumerate(arm.names):
-                    out[mname] = error_table(
-                        jnp.reshape(preds[mi], (len(d_values), -1)), d_values
-                    )
+                    out[mname] = np.asarray(jnp.reshape(preds[mi], (n_d, -1)))
             else:
                 preds = self.predict(arm_name, self.in_order_data)
-                out[arm_name] = error_table(
-                    jnp.reshape(preds, (len(d_values), -1)), d_values
-                )
+                out[arm_name] = np.asarray(jnp.reshape(preds, (n_d, -1)))
         return out
+
+    def in_order_error_tables(self) -> Dict[str, Dict[str, float]]:
+        """Evaluate every arm on the in-order D sweep and score it the poster
+        way (mse of pred−true, std/4) — train_resultsPSFNoise.ipynb cell 10."""
+        from moleculardiffusion_mivit_tpu.evaluation import error_table
+
+        d_values = self.in_order_data["d_values"]
+        return {
+            name: error_table(preds, d_values)
+            for name, preds in self.in_order_predictions().items()
+        }

@@ -47,34 +47,44 @@ def _grid_constants(output_size: int, upsampling: int):
 
 
 def _make_kernel(n_sub: int, output_size: int, upsampling: int):
+    """Tile-vectorized kernel: sub-positions arrive pre-flattened as
+    ``(TILE_B·P, 1)`` blocks, so the Mosaic-unsupported in-kernel
+    ``(TB, P) → (TB·P, 1)`` relayout never happens — the round-2 kernel
+    worked around it with a per-element ``fori_loop`` that serialized the
+    tile (8× slower than XLA). Here the exponentials ((TB·P, G), VPU), the
+    peak maxima and the pooling matmuls ((TB·P, G) @ (G, S), MXU) cover the
+    WHOLE tile at once; only the S×P×S frame-assembly dots remain per
+    element, sliced statically out of the pooled rows."""
     p, s = n_sub, output_size
 
-    def kernel(sigma_ref, coords_ref, pool_ref, x_ref, y_ref, w_ref, out_ref):
-        coords = coords_ref[0, :]
-        pool = pool_ref[:, :]
+    def kernel(sigma_ref, coords_ref, pool_ref, x_ref, y_ref, w_ref, out_ref,
+               px_ref, pyw_ref):
+        coords = coords_ref[0, :]  # (G,)
+        pool = pool_ref[:, :]  # (G, S)
         inv2s2 = 1.0 / (2.0 * sigma_ref[0, 0] * sigma_ref[0, 0])
 
-        # NOTE: a fully tile-vectorized variant ((TILE_B·P, G) exponentials +
-        # one pooled matmul + batched dot_general assembly) hits Mosaic's
-        # "unsupported shape cast" on the (TB, P) → (TB·P, 1) relayout, so
-        # the tile is processed per element; each step is still VPU exps +
-        # two MXU dots.
+        x = x_ref[:, :]  # (TB·P, 1)
+        y = y_ref[:, :]
+        dx = coords[None, :] - x  # (TB·P, G)
+        dy = coords[None, :] - y
+        gx = jnp.exp(-dx * dx * inv2s2)
+        gy = jnp.exp(-dy * dy * inv2s2)
+        mx = jnp.max(gx, axis=1, keepdims=True)  # (TB·P, 1)
+        my = jnp.max(gy, axis=1, keepdims=True)
+        px_ref[:, :] = jnp.dot(gx, pool, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # (TB·P, S)
+        py = jnp.dot(gy, pool, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        pyw_ref[:, :] = py * (w_ref[:, :] / (mx * my))  # (TB·P, S)
+
         def one(b, _):
-            x = x_ref[b, :]  # (P,)
-            y = y_ref[b, :]
-            dx = coords[None, :] - x[:, None]  # (P, G)
-            dy = coords[None, :] - y[:, None]
-            gx = jnp.exp(-dx * dx * inv2s2)
-            gy = jnp.exp(-dy * dy * inv2s2)
-            mx = jnp.max(gx, axis=1)
-            my = jnp.max(gy, axis=1)
-            px = jnp.dot(gx, pool, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)  # (P, S)
-            py = jnp.dot(gy, pool, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            w = w_ref[b, :] / (mx * my)
-            frame = jnp.dot(
-                (py * w[:, None]).T, px, preferred_element_type=jnp.float32,
+            # dynamic sublane slices come off the VMEM scratch refs (Mosaic
+            # supports dynamic starts on ref indexing, not on values)
+            frame = jax.lax.dot_general(
+                pyw_ref[pl.dslice(b * p, p), :],  # (P, S)
+                px_ref[pl.dslice(b * p, p), :],  # (P, S)
+                (((0,), (0,)), ((), ())),  # contract the sub-position axis
+                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (S, S)
             out_ref[b, :, :] = frame
@@ -117,6 +127,11 @@ def pallas_render_frames(
     coords = jnp.asarray(coords_np)[None, :]  # (1, G)
     pool = jnp.asarray(pool_np)  # (G, S)
     g = coords.shape[1]
+    # flatten sub-positions OUTSIDE the kernel (free in XLA) so each block
+    # arrives as (TILE_B·P, 1) — see _make_kernel
+    x_flat = x_hr.reshape(padded * p, 1)
+    y_flat = y_hr.reshape(padded * p, 1)
+    w_flat = intensities.reshape(padded * p, 1)
     kernel = _make_kernel(p, s, upsampling_factor)
     out = pl.pallas_call(
         kernel,
@@ -125,14 +140,18 @@ def pallas_render_frames(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B * p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B * p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_B * p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_B, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded, s, s), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_B * p, s), jnp.float32),  # pooled x rows
+            pltpu.VMEM((TILE_B * p, s), jnp.float32),  # weighted pooled y rows
+        ],
         interpret=interpret,
-    )(sigma, coords, pool, x_hr, y_hr, intensities)
+    )(sigma, coords, pool, x_flat, y_flat, w_flat)
     return out[:b]
 
 

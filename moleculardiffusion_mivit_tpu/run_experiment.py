@@ -36,6 +36,12 @@ def main(argv=None):
         "(where the experiment supports it)",
     )
     ap.add_argument(
+        "--plots",
+        action="store_true",
+        help="render the L8 figures (val-MSE curves, error bars/violins, "
+        "prediction-vs-D, PSF×noise heatmaps) into <out>/figures after the run",
+    )
+    ap.add_argument(
         "--resume",
         type=str,
         default=None,
@@ -49,7 +55,9 @@ def main(argv=None):
         help="shard over a device mesh, e.g. 'data=2,model=4': GridArm "
         "stacks shard params over 'model' and the batch over 'data'; "
         "single-model arms replicate params and shard the batch over all "
-        "devices (counts must divide batch / model-stack sizes)",
+        "devices. The fused single-dispatch cycle stays on (any batch size "
+        "is correct; batches divisible by the data axis avoid cross-shard "
+        "gathers)",
     )
     args = ap.parse_args(argv)
 
@@ -122,15 +130,35 @@ def main(argv=None):
     logger.log("final_val_avg", values=final)
 
     if exp.in_order_data is not None:
-        from moleculardiffusion_mivit_tpu.evaluation import save_error_table_csv
+        import numpy as np
 
-        tables = exp.in_order_error_tables()
+        from moleculardiffusion_mivit_tpu.evaluation import (
+            error_table,
+            save_error_table_csv,
+        )
+
+        d_values = exp.in_order_data["d_values"]
+        preds = exp.in_order_predictions()
+        tables = {name: error_table(p, d_values) for name, p in preds.items()}
         csv_path = os.path.join(out_dir, f"{args.experiment}_errors.csv")
         save_error_table_csv(tables, csv_path)
         logger.log("error_tables", path=csv_path, tables=tables)
+        # raw per-sequence predictions: the committed artifact the L8 figure
+        # layer (evaluation.plots) regenerates violins / pred-vs-D from
+        np.savez_compressed(
+            os.path.join(out_dir, "in_order_predictions.npz"),
+            d_values=np.asarray(d_values),
+            **preds,
+        )
 
     with open(os.path.join(out_dir, "history.json"), "w") as f:
         json.dump(exp.history, f)
+
+    if args.plots:
+        from moleculardiffusion_mivit_tpu.evaluation.plots import render_all
+
+        made = render_all(out_dir)
+        logger.log("figures", paths=list(made.values()))
     print(f"results in {out_dir}", file=sys.stderr)
 
 

@@ -108,9 +108,8 @@ class PiecewiseLinearGeometry:
         for i in range(len(es) - 1):
             if not np.allclose(es[i].end_point, es[i + 1].start_point):
                 raise ValueError(
-                    f"Edges don't connect properly at index {i}. "
-                    f"End point of edge {i}: {tuple(es[i].end_point)}, "
-                    f"Start point of edge {i + 1}: {tuple(es[i + 1].start_point)}"
+                    f"edge chain breaks between edges {i} and {i + 1}: "
+                    f"{tuple(es[i].end_point)} != {tuple(es[i + 1].start_point)}"
                 )
         vertices = [es[0].start_point] + [e.end_point for e in es]
         return cls(vertices)

@@ -235,7 +235,12 @@ def single_state(
     ``L`` is the andi-datasets confinement box size: ``L > 0`` starts each
     particle uniformly inside ``[0, L]^2`` and applies reflecting boundaries
     (``reflect_into_box``); ``L == 0`` (the reference's only usage,
-    trainModels.py:118) means free diffusion.
+    trainModels.py:118) means free diffusion. Combining ``drift`` with
+    ``L > 0`` raises: the whole-trajectory triangle-wave fold is
+    distribution-exact only for symmetric (driftless) increments — drifted
+    increments need stepwise reflection to produce the correct
+    wall-accumulating stationary distribution, which this generator does
+    not implement.
 
     Returns ``trajs (N, T, 2)``, ``labels (N, T, 3)`` — note: already in the
     particle-major layout the reference obtains by transposing
@@ -247,6 +252,12 @@ def single_state(
     d_mean, d_sigma = _pair(Ds)
     a_mean, a_sigma = _pair(alphas)
     pure_brownian = float(a_mean) == 1.0 and float(a_sigma) == 0.0
+    if drift is not None and float(L) > 0.0 and any(float(v) != 0.0 for v in drift):
+        raise ValueError(
+            "drift combined with confinement (L > 0) is unsupported: the "
+            "post-hoc triangle-wave fold is only exact for driftless "
+            "increments (see docstring)"
+        )
     drift_vec = jnp.zeros(2, jnp.float32) if drift is None else jnp.asarray(drift, jnp.float32)
     return _single_state_impl(
         key,

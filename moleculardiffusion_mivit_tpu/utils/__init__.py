@@ -4,5 +4,10 @@ from moleculardiffusion_mivit_tpu.utils.checkpoint import (  # noqa: F401
     save_experiment,
     save_pytree,
 )
+from moleculardiffusion_mivit_tpu.utils.flops import (  # noqa: F401
+    compiled_flops,
+    device_peak_flops,
+    utilization,
+)
 from moleculardiffusion_mivit_tpu.utils.metrics import MetricsLogger  # noqa: F401
 from moleculardiffusion_mivit_tpu.utils.profiling import profile_trace, time_block  # noqa: F401

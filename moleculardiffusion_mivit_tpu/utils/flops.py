@@ -1,0 +1,99 @@
+"""Hardware-utilization accounting (FLOPs, achieved FLOP/s, MFU).
+
+The reference publishes no throughput or utilization numbers at all
+(SURVEY.md §5-6: wall-clock bookend prints only). A TPU-first framework
+should state how much of the chip it actually uses, so the remaining
+headroom is a decision rather than an unknown: these helpers extract the
+compiled programs' FLOP counts from XLA's own cost model and relate the
+achieved FLOP/s to the chip's peak.
+
+The numbers are *model* FLOPs as XLA counts them (fused program, including
+generation/rendering and the optimizer), not a hand-derived estimate — so
+MFU here answers "how full is the MXU across the whole cycle program".
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+# Peak dense-matmul throughput per chip, bf16 (the MXU's native multiply
+# precision and JAX's default matmul operand rounding). Values are the
+# published per-chip specs; override with MIVIT_PEAK_TFLOPS for unlisted
+# hardware.
+_PEAK_TFLOPS_BF16 = {
+    "v5 lite": 197.0,  # TPU v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6 lite": 918.0,  # TPU v6e (Trillium)
+    "v6e": 918.0,
+    "cpu": 0.0,  # no meaningful MXU peak; MFU reported as None
+}
+
+
+def device_peak_flops(device: Optional[jax.Device] = None) -> Optional[float]:
+    """Peak bf16 FLOP/s of one chip, or None when unknown/CPU."""
+    env = os.environ.get("MIVIT_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, tflops in _PEAK_TFLOPS_BF16.items():
+        if key in kind:
+            return tflops * 1e12 or None
+    return None
+
+
+def _flops_of(ca) -> Optional[float]:
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0] if ca else None
+    if not ca:
+        return None
+    flops = ca.get("flops")
+    return float(flops) if flops and flops > 0 else None
+
+
+def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
+    """Total FLOPs of one call of a jitted function, from XLA's cost model.
+
+    Reads the *lowered* module's cost analysis first — no compilation, so
+    it is safe to call on programs whose compile is expensive (minutes
+    through the TPU tunnel) and on arguments whose buffers were already
+    donated (only avals are inspected). Falls back to compiling when the
+    backend's lowered analysis is unavailable. Returns None when neither
+    provides a cost model.
+    """
+    try:
+        lowered = jitted_fn.lower(*args, **kwargs)
+    except Exception:
+        return None
+    try:
+        flops = _flops_of(lowered.cost_analysis())
+        if flops is not None:
+            return flops
+    except Exception:
+        pass
+    try:
+        return _flops_of(lowered.compile().cost_analysis())
+    except Exception:
+        return None
+
+
+def utilization(
+    flops_per_call: Optional[float],
+    seconds_per_call: float,
+    device: Optional[jax.Device] = None,
+) -> dict:
+    """``{"flops", "achieved_tflops", "mfu_pct"}`` (None-safe)."""
+    out = {"flops": flops_per_call, "achieved_tflops": None, "mfu_pct": None}
+    if not flops_per_call or seconds_per_call <= 0:
+        return out
+    achieved = flops_per_call / seconds_per_call
+    out["achieved_tflops"] = round(achieved / 1e12, 4)
+    peak = device_peak_flops(device)
+    if peak:
+        out["mfu_pct"] = round(100.0 * achieved / peak, 3)
+    return out

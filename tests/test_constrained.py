@@ -108,7 +108,7 @@ def test_geometry_from_edge_list_three_edge_skeleton():
 
 
 def test_geometry_from_edges_rejects_disconnected():
-    with pytest.raises(ValueError, match="index 0"):
+    with pytest.raises(ValueError, match="between edges 0 and 1"):
         PiecewiseLinearGeometry.from_edges([((0, 0), (1, 0)), ((2, 0), (3, 0))])
     with pytest.raises(ValueError):
         PiecewiseLinearGeometry.from_edges([])
