@@ -129,6 +129,28 @@ class PiecewiseLinearGeometry:
             float(self.vertices[:, 1].max()),
         )
 
+    def get_edge_at_position(self, position, tol: float = 1e-10):
+        """The edge whose segment contains ``position`` (spatial lookup), or
+        None when the point lies on no edge (mitochnodria.py:199-230).
+
+        Vectorized over edges: project the point onto every segment, accept
+        edges whose projection parameter lies in [0, length] and whose
+        perpendicular distance is below ``tol``; ties (shared vertices)
+        resolve to the first edge in chain order, like the reference's loop.
+        """
+        pos = np.asarray(position, np.float64)
+        starts = self.vertices[:-1].astype(np.float64)
+        ends = self.vertices[1:].astype(np.float64)
+        vecs = ends - starts
+        lengths = np.asarray(self.lengths, np.float64)
+        rel = pos[None, :] - starts
+        proj = (rel * vecs).sum(axis=1) / lengths  # projection parameter
+        perp = rel - (proj / lengths)[:, None] * vecs
+        perp_dist = np.linalg.norm(perp, axis=1)
+        ok = (proj >= 0.0) & (proj <= lengths) & (perp_dist < tol)
+        hits = np.nonzero(ok)[0]
+        return self.edges[int(hits[0])] if hits.size else None
+
     def get_edge_at_length(self, distance: float):
         """(edge, remaining distance along it) at an arclength from the
         start; (None, 0.0) outside [0, total_length]

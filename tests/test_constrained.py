@@ -114,6 +114,17 @@ def test_geometry_from_edges_rejects_disconnected():
         PiecewiseLinearGeometry.from_edges([])
 
 
+def test_get_edge_at_position():
+    geo = PiecewiseLinearGeometry([(0, 0), (2, 0), (2, 3)])
+    # interior of edge 0, interior of edge 1, shared vertex → first edge
+    assert geo.get_edge_at_position((1.0, 0.0)) is geo.edges[0]
+    assert geo.get_edge_at_position((2.0, 1.5)) is geo.edges[1]
+    assert geo.get_edge_at_position((2.0, 0.0)) is geo.edges[0]
+    # off-skeleton and beyond-the-end points find nothing
+    assert geo.get_edge_at_position((1.0, 1.0)) is None
+    assert geo.get_edge_at_position((2.0, 3.5)) is None
+
+
 def test_constrained_video_d_recovery():
     """End-to-end: constrained fBm on a skeleton → rendered fluorescence
     video → MSD D-estimate recovers the input D (the experiment the
