@@ -157,9 +157,20 @@ def test_resume_continues_schedule(tmp_path):
 
 def test_modular_experiment_smoke():
     """The ModularTransformer regime (models.py:366-593 — the reference built
-    it but never trained it): 3 fusion arms train and validate."""
+    it but never trained it): all five mode × fusion arms train and
+    validate, including features_only and concat_features (round 3)."""
     exp = get_experiment("modular", sequences_per_d=8, val_length=6)
-    _assert_ran(exp, {"mod_images", "mod_both_add", "mod_both_concat"}, 1)
+    _assert_ran(
+        exp,
+        {
+            "mod_images",
+            "mod_features",
+            "mod_both_add",
+            "mod_both_concat",
+            "mod_both_concat_feat",
+        },
+        1,
+    )
 
 
 def test_per_frame_features_causal_and_shaped():
