@@ -62,21 +62,30 @@ def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
     Reads the *lowered* module's cost analysis first — no compilation, so
     it is safe to call on programs whose compile is expensive (minutes
     through the TPU tunnel) and on arguments whose buffers were already
-    donated (only avals are inspected). Falls back to compiling when the
-    backend's lowered analysis is unavailable. Returns None when neither
-    provides a cost model.
+    donated (only avals are inspected). The axon TPU backend's lowered
+    analysis carries no flops, so the program is then re-lowered under the
+    host CPU backend (flop counts are backend-independent pre-optimization
+    and the CPU lowering is local and fast). Compiling is the last resort.
+    Returns None when no path provides a cost model.
     """
     try:
         lowered = jitted_fn.lower(*args, **kwargs)
-    except Exception:
-        return None
-    try:
         flops = _flops_of(lowered.cost_analysis())
+        if flops is not None:
+            return flops
+    except Exception:
+        lowered = None
+    try:
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            flops = _flops_of(jitted_fn.lower(*args, **kwargs).cost_analysis())
         if flops is not None:
             return flops
     except Exception:
         pass
     try:
+        if lowered is None:
+            return None
         return _flops_of(lowered.compile().cost_analysis())
     except Exception:
         return None
