@@ -173,6 +173,30 @@ def test_modular_experiment_smoke():
     )
 
 
+def test_images_features_in_order_predictions_and_tables():
+    """The reconciled in-order sweep: 100 D values (0.1..10.0), per-model
+    (n_d, n_particles) predictions in physical units, and error tables
+    derived from them consistently."""
+    exp = get_experiment(
+        "images_features",
+        sequences_per_d=8,
+        val_length=6,
+        val_d_values=(1.0, 5.0),
+        with_in_order=True,
+    )
+    exp.run(num_cycles=1)
+    d_values = exp.in_order_data["d_values"]
+    assert len(d_values) == 100 and float(d_values[-1]) == 10.0
+    preds = exp.in_order_predictions()
+    assert set(preds) == set(exp.model_names)
+    for p in preds.values():
+        assert p.shape == (100, 10) and np.isfinite(p).all()
+    tables = exp.in_order_error_tables()
+    # tables recompute from the same predictions
+    err = preds["MSD_Frame"] - np.asarray(d_values)[:, None]
+    assert abs(tables["MSD_Frame"]["mse"] - float((err**2).mean())) < 1e-6
+
+
 def test_per_frame_features_causal_and_shaped():
     import jax.numpy as jnp
 
