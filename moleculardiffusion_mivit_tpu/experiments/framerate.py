@@ -15,7 +15,7 @@ is its own compiled entry rather than a vmapped grid.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +71,13 @@ def build(
     sequences_per_d: int = 64,
     val_length: int = 30,
     val_d_values=(1.0, 3.0, 5.0, 7.0, 9.0),
+    continuous_d: Optional[Tuple[float, float]] = None,
 ) -> Experiment:
+    """``continuous_d=(lo, hi)`` replaces the discrete class list with a
+    per-sequence D ~ Uniform(lo, hi) curriculum (the framework-enabled
+    densification that took the MiViT 0.377 → 0.314, RESULTS.md) at a
+    matched per-cycle data budget (5.5 × sequences_per_d, the discrete
+    list's total incl. its half class)."""
     # Training D list incl. the half-count (10.2, 1) tail class — the
     # reference's committed list (trainModelsFramerate.py:45; N//2 at :127)
     # covers the top of the 0.1..10.0 evaluation sweep.
@@ -104,19 +110,42 @@ def build(
             model=MultiImageResNet(), slice_fn=make_slice(i, rate)
         )
 
-    def generate_fn(key):
-        all_videos, all_labels = [], []
-        for i, ds in enumerate(train_cfg.training_ds):
-            n = sequences_per_d if ds[0] != 10.2 else sequences_per_d // 2
-            k_sim, k_render = jax.random.split(jax.random.fold_in(key, i))
-            trajs, labels = single_state(k_sim, n, t, Ds=tuple(ds))
-            trajs = trajs / train_cfg.traj_div_factor
-            all_videos.append(render_framerate_stack(k_render, trajs, optics, rates))
-            all_labels.append(labels[:, :1, 1] / train_cfg.d_max_normalization)
-        return {
-            "videos": jnp.concatenate(all_videos, axis=0),
-            "labels": jnp.concatenate(all_labels, axis=0),
-        }
+    if continuous_d is not None:
+        from moleculardiffusion_mivit_tpu.sim.trajectory import brownian_motion
+
+        d_lo, d_hi = continuous_d
+        n_total = int(sequences_per_d * 5.5)
+
+        def generate_fn(key):
+            kd, kt, kr = jax.random.split(key, 3)
+            d = jax.random.uniform(kd, (n_total,), minval=d_lo, maxval=d_hi)
+            trajs = (
+                brownian_motion(
+                    kt, n_total, train_cfg.n_frames, ORIGINAL_N_POS, d,
+                    float(ORIGINAL_N_POS),
+                )
+                / train_cfg.traj_div_factor
+            )
+            return {
+                "videos": render_framerate_stack(kr, trajs, optics, rates),
+                "labels": (d / train_cfg.d_max_normalization)[:, None],
+            }
+
+    else:
+
+        def generate_fn(key):
+            all_videos, all_labels = [], []
+            for i, ds in enumerate(train_cfg.training_ds):
+                n = sequences_per_d if ds[0] != 10.2 else sequences_per_d // 2
+                k_sim, k_render = jax.random.split(jax.random.fold_in(key, i))
+                trajs, labels = single_state(k_sim, n, t, Ds=tuple(ds))
+                trajs = trajs / train_cfg.traj_div_factor
+                all_videos.append(render_framerate_stack(k_render, trajs, optics, rates))
+                all_labels.append(labels[:, :1, 1] / train_cfg.d_max_normalization)
+            return {
+                "videos": jnp.concatenate(all_videos, axis=0),
+                "labels": jnp.concatenate(all_labels, axis=0),
+            }
 
     trajs = load_validation_trajectories(length=val_length)
     key = jax.random.key(seed + 99)
