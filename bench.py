@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--cycles", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--unroll", type=int, default=1, help="epoch-scan unroll factor")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -57,7 +58,7 @@ def main():
     from moleculardiffusion_mivit_tpu.train import make_multi_cycle
     from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
 
-    train_cfg = TrainConfig(seed=0)
+    train_cfg = TrainConfig(seed=0, scan_unroll=args.unroll)
     model_cfg = ModelConfig(use_pos_encoding=True)  # trainSettings.py:34
     n_seq = train_cfg.sequences_per_d * len(train_cfg.training_ds)
 

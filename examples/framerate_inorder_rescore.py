@@ -50,12 +50,27 @@ def main(argv=None):
     ap.add_argument("--ckpt", default="results/framerate_r1/final")
     ap.add_argument("--chunk", type=int, default=100, help="sequences per render/eval call")
     ap.add_argument("--out-csv", default=None)
+    ap.add_argument(
+        "--tta",
+        action="store_true",
+        help="rotation test-time augmentation: mean prediction over "
+        "0/90/180/270° (the reference's own augmented protocol, "
+        "trainSettingsImagesFeatures.py:255-300)",
+    )
+    ap.add_argument(
+        "--save-preds",
+        default=None,
+        help="optional .npz path for the raw (model → (n_d, n_p)) predictions",
+    )
     args = ap.parse_args(argv)
 
     exp = build()
     exp.build()
     restore_experiment(exp, args.ckpt)
-    print(f"restored {args.ckpt}: {exp.model_names}", flush=True)
+    if args.tta:
+        for arm in exp.arms.values():
+            arm.tta_rotations = True
+    print(f"restored {args.ckpt}: {exp.model_names} (tta={args.tta})", flush=True)
 
     trajs = generate_in_order_imft()  # (100, 10, 300, 2)
     n_d, n_p, t, _ = trajs.shape
@@ -75,12 +90,23 @@ def main(argv=None):
             preds[name].append(np.asarray(exp.predict(name, data)))
         print(f"  scored {start + chunk.shape[0]}/{flat.shape[0]}", flush=True)
 
-    rows = {}
+    rows, rows70 = {}, {}
+    n70 = int(np.sum(np.asarray(IN_ORDER_IMFT_D_VALUES) <= 7.0 + 1e-9))
+    pred_mats = {}
     for name in exp.model_names:
         p = np.concatenate(preds[name], axis=0).reshape(n_d, n_p)
+        pred_mats[name] = p
         rows[name] = error_table(p, IN_ORDER_IMFT_D_VALUES)
+        # the snapshot's only committed in-order asset covers D ≤ 7.0 (70
+        # slices, SURVEY §2.4) — score that subset too, to expose how much
+        # of each cell's MSE lives in the 7 < D ≤ 10 tail
+        rows70[name] = error_table(p[:n70], IN_ORDER_IMFT_D_VALUES[:n70])
 
-    print(f"\n{'arm':<8} {'ms':>4} {'mse':>8} {'std':>7}   published-mse")
+    if args.save_preds:
+        np.savez(args.save_preds, d_values=np.asarray(IN_ORDER_IMFT_D_VALUES), **pred_mats)
+        print(f"saved raw predictions to {args.save_preds}")
+
+    print(f"\n{'arm':<8} {'ms':>4} {'mse':>8} {'std':>7} {'mse_d<=7':>9}   published-mse")
     for i, rate in enumerate(RATES):
         ms = EXPOSURE_MS[rate]
         for kind, prefix in (("t", "tr"), ("r", "res")):
@@ -88,18 +114,20 @@ def main(argv=None):
             pub = PUBLISHED[(kind, ms)]
             mark = "BEAT" if r["mse"] < pub else ""
             print(
-                f"{prefix}_{i:<5} {ms:>4} {r['mse']:>8.3f} {r['std']:>7.3f}   "
-                f"{pub:.3f} {mark}"
+                f"{prefix}_{i:<5} {ms:>4} {r['mse']:>8.3f} {r['std']:>7.3f} "
+                f"{rows70[f'{prefix}_{i}']['mse']:>9.3f}   {pub:.3f} {mark}"
             )
 
-    out_csv = args.out_csv or os.path.join(os.path.dirname(args.ckpt), "inorder_imft_rescore.csv")
+    default_name = "inorder_imft_rescore_tta.csv" if args.tta else "inorder_imft_rescore.csv"
+    out_csv = args.out_csv or os.path.join(os.path.dirname(args.ckpt), default_name)
     with open(out_csv, "w") as f:
-        f.write("model,exposure_ms,mse,std,published_mse\n")
+        f.write("model,exposure_ms,mse,std,mse_d_le_7,published_mse\n")
         for i, rate in enumerate(RATES):
             for kind, prefix in (("t", "tr"), ("r", "res")):
                 r = rows[f"{prefix}_{i}"]
                 f.write(
                     f"{prefix}_{i},{EXPOSURE_MS[rate]},{r['mse']:.6g},{r['std']:.6g},"
+                    f"{rows70[f'{prefix}_{i}']['mse']:.6g},"
                     f"{PUBLISHED[(kind, EXPOSURE_MS[rate])]}\n"
                 )
     print(f"wrote {out_csv}")

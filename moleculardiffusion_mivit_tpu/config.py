@@ -150,6 +150,12 @@ class TrainConfig:
     loss: str = "mse"  # mse | l1 (Denoising experiment uses l1)
     sequence_mode: bool = False  # per-frame predictions/labels (sequences=True)
     mix_trajectories: bool = False  # sequence-mode tail-swap augmentation
+    # lax.scan unroll factor for the per-epoch minibatch loop. >1 replicates
+    # the step body so XLA amortizes loop overhead across consecutive
+    # optimizer steps — a lever on the batch-1 regime, whose critical path is
+    # hundreds of sequential tiny steps. Must divide into the step count
+    # cleanly for best effect; 1 = plain scan.
+    scan_unroll: int = 1
     seed: int = 0
 
     @property

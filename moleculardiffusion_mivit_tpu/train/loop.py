@@ -242,7 +242,7 @@ def make_train_impls(
         def body(carry, idx):
             return train_step(carry, videos, labels, features, idx, k_drop)
 
-        state, losses = jax.lax.scan(body, state, perm)
+        state, losses = jax.lax.scan(body, state, perm, unroll=train_cfg.scan_unroll)
         return state, jnp.mean(losses)
 
     def evaluate(state, videos, features=None):

@@ -145,7 +145,7 @@ def make_multi_cycle(
                 losses.append(loss)
             return tuple(out), jnp.stack(losses)
 
-        carry, step_losses = jax.lax.scan(body, tuple(carry), xs)
+        carry, step_losses = jax.lax.scan(body, tuple(carry), xs, unroll=train_cfg.scan_unroll)
 
         new_states = {name: carry[i] for i, name in enumerate(names)}
         losses = {name: jnp.mean(step_losses[:, i]) for i, name in enumerate(names)}

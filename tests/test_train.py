@@ -203,3 +203,37 @@ def test_multi_cycle_with_features_validation():
     )
     assert np.isfinite(float(val_mse["mivit"]))
     assert np.isfinite(float(losses["mivit"]))
+
+
+def test_scan_unroll_matches_plain_scan():
+    """``TrainConfig.scan_unroll`` only changes how XLA lays out the epoch
+    loop (body replication): the update SEQUENCE is identical, but unrolling
+    lets XLA re-fuse/reorder float ops, so equality holds to float32
+    reassociation tolerance (with matmul precision pinned), not bitwise."""
+    from moleculardiffusion_mivit_tpu.train.loop import make_train_fns
+
+    model = GeneralTransformer(SMALL_MODEL, embedding="linear")
+    key = jax.random.key(11)
+    videos, labels, _ = generate_cycle_data(key, SMALL_TRAIN, BASELINE_OPTICS)
+
+    results = {}
+    with jax.default_matmul_precision("float32"):
+        for unroll in (1, 4):
+            cfg = SMALL_TRAIN.replace(scan_unroll=unroll)
+            init_state, train_cycle, _ = make_train_fns(model, cfg)
+            st = init_state(jax.random.key(2), videos[:1])
+            # 32 seqs / batch 8 = 4 steps: unroll=4 exercises full replication
+            st, loss = train_cycle(
+                st, videos, labels, None, jax.random.key(5), jnp.float32(1e-4), 8
+            )
+            results[unroll] = (float(loss), jax.tree.leaves(st.params))
+
+    assert np.isclose(results[1][0], results[4][0], rtol=1e-6)
+    # AdamW normalizes each update by sqrt(v̂)+eps with v̂ ≈ 0 on the first
+    # steps, so float-reassociation noise in the gradients is amplified to
+    # the scale of the update itself (lr = 1e-4); parameter agreement is
+    # therefore bounded by ~2·lr, while a structural bug (wrong step order,
+    # dropped minibatches) shows up as whole-update-magnitude divergence on
+    # most leaves plus a loss mismatch, which the assertions still catch.
+    for a, b in zip(results[1][1], results[4][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-4)
