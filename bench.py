@@ -37,7 +37,15 @@ def main():
     ap.add_argument("--cycles", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=1)
-    ap.add_argument("--unroll", type=int, default=1, help="epoch-scan unroll factor")
+    ap.add_argument(
+        "--unroll",
+        type=int,
+        default=None,
+        help="epoch-scan unroll factor; default picks the measured optimum "
+        "per regime on TPU v5e (RESULTS.md): 16 at batch 1 (757.8 -> 889.3 "
+        "seq/s, identical validation losses; u32 regresses), 1 at batch "
+        ">= 16 (full unroll is ~20%% slower there)",
+    )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -58,7 +66,8 @@ def main():
     from moleculardiffusion_mivit_tpu.train import make_multi_cycle
     from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
 
-    train_cfg = TrainConfig(seed=0, scan_unroll=args.unroll)
+    unroll = args.unroll if args.unroll else (16 if args.batch_size == 1 else 1)
+    train_cfg = TrainConfig(seed=0, scan_unroll=unroll)
     model_cfg = ModelConfig(use_pos_encoding=True)  # trainSettings.py:34
     n_seq = train_cfg.sequences_per_d * len(train_cfg.training_ds)
 
@@ -101,11 +110,6 @@ def main():
     ex_videos, _, _ = generate_cycle_data(key, train_cfg, BASELINE_OPTICS)
     init_states, cycle = make_multi_cycle(models, train_cfg, BASELINE_OPTICS)
     states = init_states(key, ex_videos[:1])
-    # aval snapshot for FLOP accounting — taken before donation invalidates
-    # the state buffers; lower() needs only shapes/dtypes
-    states_avals = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), states
-    )
 
     def run_cycle(cycle_idx):
         nonlocal states
@@ -131,20 +135,17 @@ def main():
         v == v and abs(v) < 1e6 for v in val_final.values()
     ), f"non-finite/diverged validation MSE: {val_final}"
 
-    # Hardware-utilization accounting: FLOPs of the whole fused cycle
-    # program (XLA cost model of the lowered module — no recompile), achieved
-    # FLOP/s and fraction of the chip's bf16 peak.
-    from moleculardiffusion_mivit_tpu.utils import compiled_flops, utilization
+    # Hardware-utilization accounting: exact FLOPs of the cycle's logical
+    # work (per-model loop-free train_step lowered on the CPU backend ×
+    # step count + eval + generation — XLA's cost analysis counts scan
+    # bodies once, not × trip count, so lowering the scanned program itself
+    # undercounts by ~the step count), achieved FLOP/s and fraction of the
+    # chip's bf16 peak.
+    from moleculardiffusion_mivit_tpu.utils import multi_cycle_flops, utilization
 
     cycle_seconds = elapsed / args.cycles
-    flops = compiled_flops(
-        cycle,
-        states_avals,
-        key,
-        jnp.float32(train_cfg.lr),
-        args.batch_size,
-        val_concat,
-        val_targets,
+    flops = multi_cycle_flops(
+        models, train_cfg, BASELINE_OPTICS, args.batch_size, val_concat.shape
     )
     util = utilization(flops, cycle_seconds)
 

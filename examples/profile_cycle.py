@@ -151,14 +151,15 @@ def main(argv=None):
     )
     breakdown["fused_seqs_per_sec"] = n_seq / breakdown["fused_cycle"]
 
-    # Utilization accounting: XLA-counted FLOPs of the whole fused cycle
-    # program, achieved FLOP/s at the measured steady-state time, and the
-    # fraction of the chip's bf16 peak (MFU).
-    from moleculardiffusion_mivit_tpu.utils import compiled_flops, utilization
+    # Utilization accounting: exact FLOPs of the cycle's logical work
+    # (loop-free per-step lowerings × step counts — XLA's cost analysis
+    # counts scan bodies once, so lowering the scanned program undercounts),
+    # achieved FLOP/s at the measured steady-state time, and the fraction of
+    # the chip's bf16 peak (MFU).
+    from moleculardiffusion_mivit_tpu.utils import multi_cycle_flops, utilization
 
-    avals = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), mstates)
-    flops = compiled_flops(
-        cycle, avals, key, jnp.float32(1e-4), args.batch_size, val_concat, val_targets
+    flops = multi_cycle_flops(
+        models, train_cfg, BASELINE_OPTICS, args.batch_size, val_concat.shape
     )
     breakdown["utilization"] = utilization(flops, breakdown["fused_cycle"])
     print(json.dumps(breakdown, indent=2))

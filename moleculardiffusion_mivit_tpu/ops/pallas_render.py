@@ -12,14 +12,17 @@ exists as the hand-tuned fallback should the XLA schedule regress. Select
 with ``renderer="pallas"`` in ``pallas_render_frames`` callers or benchmark
 both with ``benchmark_renderers``.
 
-Measured (TPU v5e, dispatch-amortized inside one compiled fori_loop,
-2026-08-16; see RESULTS.md): per 1920-frame render call XLA 138 µs vs
-Pallas 1135 µs at 9×9, 132 vs 1132 µs at 13×13; 150 vs 309 µs per 256-frame
-call at 63×63. The per-element loop this kernel uses to sidestep the Mosaic
-(TB, P) → (TB·P, 1) relayout limitation serializes the tile, so XLA wins at
-every size tested and remains the default on data, not just judgment. At
-138 µs per cycle's generation the renderer is ≪1% of a training cycle either
-way.
+Measured (TPU v5e, dispatch-amortized inside one compiled fori_loop via
+``benchmark_renderers``, 2026-08-17; see RESULTS.md): per 1920-frame render
+call XLA 166 µs vs Pallas 698 µs at 9×9 and 13×13; 154 vs 253 µs per
+256-frame call at 63×63. This tile-vectorized variant is 1.6× faster than
+the round-2 per-element-loop kernel (1135 µs) and numerically parity-checked
+on hardware (max rel diff 7.2e-7 vs the XLA path); the remaining gap is the
+frame-assembly stage — TILE_B per-element (P, S)ᵀ @ (P, S) dots that Mosaic
+runs serially for lack of a batched-dot primitive, where XLA emits one
+batched GEMM. XLA therefore remains the default on data, not just judgment;
+at 166 µs per cycle's generation the renderer is ≪1% of a training cycle
+either way.
 """
 
 from __future__ import annotations
@@ -155,9 +158,14 @@ def pallas_render_frames(
     return out[:b]
 
 
-def benchmark_renderers(batch=1920, n_sub=10, output_size=9, upsampling=5, iters=20):
+def benchmark_renderers(batch=1920, n_sub=10, output_size=9, upsampling=5, iters=200):
     """Time the XLA fused path vs the Pallas kernel on the current device.
-    Returns {"xla_ms": ..., "pallas_ms": ...} steady-state per call."""
+
+    ``iters`` render calls run inside ONE compiled ``fori_loop`` (each
+    iteration shifts the positions and consumes the previous frame sum, so
+    the loop can't be collapsed), amortizing tunnel-dispatch latency — the
+    same methodology as the RESULTS.md renderer table. Returns
+    {"xla_ms": ..., "pallas_ms": ...} steady-state per render call."""
     import time
 
     from moleculardiffusion_mivit_tpu.sim.render import render_frames_core
@@ -168,16 +176,22 @@ def benchmark_renderers(batch=1920, n_sub=10, output_size=9, upsampling=5, iters
     w = 500.0 + jax.random.normal(jax.random.fold_in(key, 2), (batch, n_sub))
     sigma = 5.96
 
-    def time_fn(fn):
-        fn().block_until_ready()  # compile
+    def time_fn(render):
+        @jax.jit
+        def looped(x, y, w):
+            def body(i, acc):
+                out = render(
+                    x + 1e-3 * (i + acc), y, w, sigma, output_size, upsampling
+                )
+                return jnp.mean(out)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        looped(x, y, w).block_until_ready()  # compile
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        out.block_until_ready()
+        looped(x, y, w).block_until_ready()
         return (time.perf_counter() - t0) / iters * 1e3
 
-    xla_ms = time_fn(lambda: render_frames_core(x, y, w, sigma, output_size, upsampling))
-    pallas_ms = time_fn(
-        lambda: pallas_render_frames(x, y, w, sigma, output_size, upsampling)
-    )
+    xla_ms = time_fn(render_frames_core)
+    pallas_ms = time_fn(pallas_render_frames)
     return {"xla_ms": xla_ms, "pallas_ms": pallas_ms}

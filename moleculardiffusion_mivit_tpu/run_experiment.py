@@ -42,6 +42,15 @@ def main(argv=None):
         "prediction-vs-D, PSF×noise heatmaps) into <out>/figures after the run",
     )
     ap.add_argument(
+        "--unroll",
+        type=int,
+        default=None,
+        help="epoch-scan unroll factor (TrainConfig.scan_unroll): replicates "
+        "the optimizer-step body so XLA amortizes loop overhead across "
+        "consecutive steps — a batch-1-regime throughput lever that trades "
+        "compile time for cycle time (see RESULTS.md)",
+    )
+    ap.add_argument(
         "--resume",
         type=str,
         default=None,
@@ -80,6 +89,11 @@ def main(argv=None):
     ).parameters:
         kwargs["with_in_order"] = True
     exp = get_experiment(args.experiment, **kwargs)
+    if args.unroll:
+        exp.train_cfg = exp.train_cfg.replace(scan_unroll=args.unroll)
+        for arm in exp.arms.values():
+            if getattr(arm, "train_cfg", None) is not None:
+                arm.train_cfg = arm.train_cfg.replace(scan_unroll=args.unroll)
     if args.mesh:
         from moleculardiffusion_mivit_tpu.parallel import make_mesh
 

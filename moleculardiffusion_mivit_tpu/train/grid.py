@@ -123,7 +123,7 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
             updates, new_opt = tx.update(grads, st.opt_state, st.params)
             return TrainState(optax.apply_updates(st.params, updates), new_bstats, new_opt), loss
 
-        state, losses = jax.lax.scan(body, state, perm)
+        state, losses = jax.lax.scan(body, state, perm, unroll=train_cfg.scan_unroll)
         return state, jnp.mean(losses)
 
     def train_cycle(grid: ModelGrid, videos, labels, features, key, lr, batch_size: int):

@@ -7,6 +7,7 @@ from moleculardiffusion_mivit_tpu.utils.checkpoint import (  # noqa: F401
 from moleculardiffusion_mivit_tpu.utils.flops import (  # noqa: F401
     compiled_flops,
     device_peak_flops,
+    multi_cycle_flops,
     utilization,
 )
 from moleculardiffusion_mivit_tpu.utils.metrics import MetricsLogger  # noqa: F401

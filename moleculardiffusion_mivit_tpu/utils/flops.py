@@ -59,6 +59,15 @@ def _flops_of(ca) -> Optional[float]:
 def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
     """Total FLOPs of one call of a jitted function, from XLA's cost model.
 
+    CAVEAT (measured 2026-08-17, both lowered and compiled analyses, CPU
+    backend): XLA's HLO cost analysis counts a ``while``/``scan`` BODY ONCE,
+    not × trip count — a 256-step batch-1 epoch is charged as one step, so
+    programs whose hot loop is a scan are undercounted by ~the trip count
+    (and ``scan_unroll`` inflates the count by the unroll factor since the
+    replicated body is visible). Use ``multi_cycle_flops`` for training-cycle
+    programs: it lowers the loop-free per-step function and multiplies by the
+    step count.
+
     Reads the *lowered* module's cost analysis first — no compilation, so
     it is safe to call on programs whose compile is expensive (minutes
     through the TPU tunnel) and on arguments whose buffers were already
@@ -106,3 +115,76 @@ def utilization(
     if peak:
         out["mfu_pct"] = round(100.0 * achieved / peak, 3)
     return out
+
+
+def multi_cycle_flops(
+    models: dict,
+    train_cfg,
+    optics,
+    batch_size: int,
+    val_videos_shape: tuple,
+) -> Optional[float]:
+    """Exact FLOPs of one fused training cycle (generation + every model's
+    epoch + every model's validation), immune to the cost-model scan caveat.
+
+    Each model's loop-free ``train_step`` is lowered once at ``batch_size``
+    (CPU backend — FLOP counts are backend-independent pre-optimization) and
+    multiplied by the epoch's step count; evaluation and generation are
+    lowered as-is (evaluation is loop-free; generation's only scan is the
+    300-step trajectory walk whose body is a handful of adds per particle —
+    its undercount is ≤1e7 FLOPs against the renderer's exact matmuls).
+    Only avals are used: safe on donated buffers and never compiles.
+
+    Covers video-only models (the bench/baseline cycle); feature-fusion
+    arms would need their feature avals threaded through ``train_step``.
+    """
+    import jax.numpy as jnp
+
+    from moleculardiffusion_mivit_tpu.train.loop import (
+        generate_cycle_data,
+        make_train_impls,
+    )
+
+    n_seq = train_cfg.sequences_per_d * len(train_cfg.training_ds)
+    steps = n_seq // batch_size
+    n_frames = train_cfg.n_frames
+    videos_aval = jax.ShapeDtypeStruct(
+        (n_seq, n_frames) + tuple(val_videos_shape[-2:]), jnp.float32
+    )
+    labels_shape = (n_seq, n_frames) if train_cfg.sequence_mode else (n_seq, 1)
+    labels_aval = jax.ShapeDtypeStruct(labels_shape, jnp.float32)
+    idx_aval = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+    key_aval = jax.eval_shape(lambda: jax.random.key(0))
+    val_aval = jax.ShapeDtypeStruct(tuple(val_videos_shape), jnp.float32)
+
+    try:
+        cpus = jax.devices("cpu")
+    except Exception:
+        return None
+    total = 0.0
+    with jax.default_device(cpus[0]):
+        gen = jax.jit(lambda k: generate_cycle_data(k, train_cfg, optics))
+        f = _flops_of(gen.lower(key_aval).cost_analysis())
+        if f:
+            total += f
+        for model in models.values():
+            impls = make_train_impls(model, train_cfg)
+            state_aval = jax.eval_shape(
+                impls.init_state,
+                key_aval,
+                jax.ShapeDtypeStruct((1,) + videos_aval.shape[1:], jnp.float32),
+            )
+            step = jax.jit(impls.train_step)
+            f = _flops_of(
+                step.lower(
+                    state_aval, videos_aval, labels_aval, None, idx_aval, key_aval
+                ).cost_analysis()
+            )
+            if f is None:
+                return None
+            total += f * steps
+            ev = jax.jit(impls.evaluate)
+            f = _flops_of(ev.lower(state_aval, val_aval).cost_analysis())
+            if f:
+                total += f
+    return total

@@ -11,7 +11,7 @@ def test_run_experiment_cli(tmp_path):
         "import jax; jax.config.update('jax_platforms','cpu');"
         "from moleculardiffusion_mivit_tpu.run_experiment import main;"
         f"main(['baseline','--cycles','1','--seqs-per-d','4','--out',r'{tmp_path}',"
-        "'--checkpoint-last','0'])"
+        "'--checkpoint-last','0','--unroll','2'])"
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=900

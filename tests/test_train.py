@@ -237,3 +237,26 @@ def test_scan_unroll_matches_plain_scan():
     # most leaves plus a loss mismatch, which the assertions still catch.
     for a, b in zip(results[1][1], results[4][1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-4)
+
+
+def test_scan_unroll_grid_matches_plain_scan():
+    """The vmapped-grid epoch scan honors ``scan_unroll`` too (same
+    reassociation-tolerance argument as the single-model test above)."""
+    videos, labels, _ = generate_cycle_data(jax.random.key(3), SMALL_TRAIN, BASELINE_OPTICS)
+    videos_m = jnp.stack([videos, videos * 0.5])
+    labels_m = jnp.stack([labels, labels])
+
+    results = {}
+    with jax.default_matmul_precision("float32"):
+        for unroll in (1, 4):
+            cfg = SMALL_TRAIN.replace(scan_unroll=unroll)
+            init_grid, train_cycle, _ = make_grid_train_fns(MultiImageResNet(), cfg)
+            grid = init_grid(jax.random.key(1), 2, videos[:1])
+            grid, losses = train_cycle(
+                grid, videos_m, labels_m, None, jax.random.key(2), jnp.float32(1e-4), 8
+            )
+            results[unroll] = (np.asarray(losses), jax.tree.leaves(grid.params))
+
+    np.testing.assert_allclose(results[1][0], results[4][0], rtol=1e-6)
+    for a, b in zip(results[1][1], results[4][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-4)
