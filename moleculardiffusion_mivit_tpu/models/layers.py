@@ -80,8 +80,17 @@ class FeedForward(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        act = activation_by_name(self.activation)
+    def __call__(self, x, deterministic: bool = True, act_slope=None):
+        if act_slope is None:
+            act = activation_by_name(self.activation)
+        else:
+            # Traced leaky-relu slope: lets a vmapped stack of models that
+            # differ ONLY in activation slope (relu == slope 0, the
+            # reference's leaky_relu == slope 0.01) share one compiled
+            # program (train.multi stack_pairs). Forward matches
+            # relu/leaky_relu exactly; the gradient differs from nn.relu
+            # only at inputs of exactly 0.0 (where() picks 1, relu picks 0).
+            act = lambda v: jnp.where(v >= 0, v, act_slope * v)
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
         x = act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -96,14 +105,14 @@ class TransformerEncoderLayerWithSkip(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True, act_slope=None):
         attn = MultiHeadAttention(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
             x, mask, deterministic
         )
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)  # post-norm
         ff = FeedForward(self.embed_dim, self.hidden_dim, self.activation, self.dropout, name="feed_forward")(
-            x, deterministic
+            x, deterministic, act_slope
         )
         x = x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x)
@@ -122,7 +131,7 @@ class Transformer(nn.Module):
     max_tokens: int = MAX_TOKENS
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, act_slope=None):
         if self.use_pos_encoding:
             pos = self.param(
                 "pos_embedding",
@@ -138,7 +147,7 @@ class Transformer(nn.Module):
                 self.activation,
                 self.dropout,
                 name=f"layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, act_slope=act_slope)
         return nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
 
 

@@ -49,7 +49,7 @@ class GeneralTransformer(nn.Module):
     head_hidden_dim: int = 128
 
     @nn.compact
-    def __call__(self, x, features=None, train: bool = False):
+    def __call__(self, x, features=None, train: bool = False, act_slope=None):
         cfg = self.config
         emb_cls = EMBEDDING_REGISTRY[self.embedding]
         x = emb_cls(cfg.patch_size, cfg.embed_dim, name="embedding")(x, train)
@@ -79,7 +79,7 @@ class GeneralTransformer(nn.Module):
             cfg.activation,
             cfg.max_tokens,
             name="transformer",
-        )(x, deterministic=not train)
+        )(x, deterministic=not train, act_slope=act_slope)
 
         if cfg.use_regression_token:
             out = x[:, 0, :]

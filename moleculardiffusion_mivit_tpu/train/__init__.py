@@ -12,5 +12,6 @@ from moleculardiffusion_mivit_tpu.train.grid import (  # noqa: F401
     make_grid_train_fns,
 )
 from moleculardiffusion_mivit_tpu.train.multi import (  # noqa: F401
+    detect_activation_stacks,
     make_multi_cycle,
 )

@@ -23,13 +23,149 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.models import init_model
 from moleculardiffusion_mivit_tpu.train.loop import (
+    TrainState,
+    _loss,
     _set_lr,
     generate_cycle_data,
+    make_optimizer,
     make_train_impls,
 )
+
+# FF activations expressible as a leaky-relu slope: relu == slope 0 exactly
+# (forward; the gradient differs only at inputs of exactly 0.0), leaky_relu
+# == the reference's fixed 0.01 (models/layers.py:37).
+SLOPE_BY_ACTIVATION = {"relu": 0.0, "leaky_relu": 0.01}
+
+
+def detect_activation_stacks(models: Dict[str, Any]):
+    """Group GeneralTransformer entries that are identical up to the FF
+    activation slope (the baseline's 3 × {relu, leaky_relu} pairs,
+    trainSettings.py:83-134).
+
+    Returns ``[(member_names, base_model, slopes), ...]`` for every group of
+    ≥2 such models (insertion order preserved). Members of one group share
+    parameter structure/init, so they can train as ONE vmapped stack whose
+    per-member slope rides the vmapped axis as data — cutting the fused
+    cycle's count of sequential scan chains, which the chain-count probe
+    showed XLA schedules mostly serially (~30 ms marginal per chain at
+    batch 1, RESULTS.md).
+    """
+    from moleculardiffusion_mivit_tpu.models import GeneralTransformer
+
+    groups: Dict[tuple, list] = {}
+    for name, m in models.items():
+        if (
+            type(m) is GeneralTransformer
+            and not m.use_global_features
+            and m.config.activation in SLOPE_BY_ACTIVATION
+        ):
+            sig = (
+                m.embedding,
+                m.fusion_type,
+                m.global_feature_dim,
+                m.head_hidden_dim,
+                m.config.replace(activation="relu"),
+            )
+            groups.setdefault(sig, []).append(name)
+    return [
+        (
+            g,
+            models[g[0]],
+            tuple(SLOPE_BY_ACTIVATION[models[n].config.activation] for n in g),
+        )
+        for g in groups.values()
+        if len(g) >= 2
+    ]
+
+
+def _make_stacked_impls(model, slopes, train_cfg: TrainConfig):
+    """Unjitted closures training a width-M stack of one GeneralTransformer
+    architecture whose members differ only in FF activation slope.
+
+    Per-member keys are supplied by the caller (``fold_in(k_train, i)`` with
+    each member's ORIGINAL model index), so a member's permutation, dropout
+    and update sequence match what the unstacked per-model ``train_cycle``
+    would produce — ``stack_pairs=True`` is an execution-layout change, not a
+    semantics change (modulo batched-GEMM reduction order and the
+    relu-gradient-at-exact-0 note in ``models/layers.py``).
+    """
+    tx = make_optimizer(train_cfg)
+    slopes = jnp.asarray(slopes, jnp.float32)
+
+    def init_stack(keys, example_videos):
+        def init_one(k):
+            params, bstats = init_model(model, k, example_videos)
+            return TrainState(params, bstats, tx.init(params))
+
+        return jax.vmap(init_one)(keys)
+
+    def loss_fn(params, batch_stats, slope, bv, by, dropout_key):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, mutated = model.apply(
+            variables,
+            bv,
+            train=True,
+            act_slope=slope,
+            mutable=mutable,
+            rngs={"dropout": dropout_key},
+        )
+        if by.ndim == 2 and out.ndim == 3:
+            by = by[..., None]
+        return _loss(out, by, train_cfg.loss), mutated.get("batch_stats", batch_stats)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def stack_cycle(sstate, videos, labels, keys, lr, batch_size: int):
+        n = videos.shape[0]
+        steps = n // batch_size
+
+        def one(st, slope, key):
+            k_perm, k_drop = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n)[: steps * batch_size].reshape(
+                steps, batch_size
+            )
+            st = st.replace(opt_state=_set_lr(st.opt_state, lr))
+
+            def body(carry, idx):
+                bv = videos[idx]
+                by = labels[idx]
+                dk = jax.random.fold_in(k_drop, idx[0])
+                (loss, new_bstats), grads = grad_fn(
+                    carry.params, carry.batch_stats, slope, bv, by, dk
+                )
+                updates, new_opt = tx.update(grads, carry.opt_state, carry.params)
+                return (
+                    TrainState(
+                        optax.apply_updates(carry.params, updates), new_bstats, new_opt
+                    ),
+                    loss,
+                )
+
+            st, losses = jax.lax.scan(body, st, perm, unroll=train_cfg.scan_unroll)
+            return st, jnp.mean(losses)
+
+        return jax.vmap(one)(sstate, slopes, keys)
+
+    def stack_evaluate(sstate, videos):
+        def one(st, slope):
+            variables = {"params": st.params}
+            if st.batch_stats:
+                variables["batch_stats"] = st.batch_stats
+            return model.apply(variables, videos, train=False, act_slope=slope)
+
+        out = jax.vmap(one, in_axes=(0, 0))(sstate, slopes)
+        return out * train_cfg.d_max_normalization
+
+    return init_stack, stack_cycle, stack_evaluate
 
 
 def make_multi_cycle(
@@ -38,6 +174,7 @@ def make_multi_cycle(
     optics: OpticsConfig,
     with_features: bool = False,
     merge_scans: bool = False,
+    stack_pairs: bool = False,
 ):
     """Build ``(init_states, cycle)`` for a dict of (possibly distinct)
     models sharing one generated dataset per cycle.
@@ -60,22 +197,56 @@ def make_multi_cycle(
     (every model's state through one loop) costs more than the per-step loop
     overhead it saves, and XLA does not cross-pack the arms' independent tiny
     matmuls.
+
+    ``stack_pairs``: vmap-stack groups of GeneralTransformers identical up to
+    FF activation slope (``detect_activation_stacks``) into ONE scan chain
+    per group — the chain-count probe showed the per-model chains execute
+    mostly serially on a TensorCore, so fewer/wider chains shorten the
+    latency-bound batch-1 cycle (~210 → ~120 ms for the 7 baseline models at
+    unroll 1, RESULTS.md). Per-member init keys, permutations and dropout
+    keys are derived with each member's ORIGINAL model index, so stacked and
+    unstacked runs produce the same update sequences; losses and ``val_mse``
+    stay keyed by original model name, but the *states* dict keys stacked
+    groups as ``"stack:<name1>+<name2>"`` holding member-stacked
+    ``TrainState`` leaves. Video-only, unmerged path only (ignored under
+    ``with_features`` / ``merge_scans``).
     """
+    stacks = (
+        detect_activation_stacks(models)
+        if stack_pairs and not with_features and not merge_scans
+        else []
+    )
+    names = list(models)
+    stack_info = []  # (group_key, member_names, member_indices, closures)
+    stacked_names = set()
+    for member_names, base_model, slopes in stacks:
+        group_key = "stack:" + "+".join(member_names)
+        closures = _make_stacked_impls(base_model, slopes, train_cfg)
+        stack_info.append(
+            (group_key, member_names, [names.index(n) for n in member_names], closures)
+        )
+        stacked_names.update(member_names)
+
     impls = {
-        name: make_train_impls(m, train_cfg, with_features) for name, m in models.items()
+        name: make_train_impls(m, train_cfg, with_features)
+        for name, m in models.items()
+        if name not in stacked_names
     }
 
     def init_states(key, example_videos, example_features=None):
         out = {}
         for i, name in enumerate(models):
+            if name in stacked_names:
+                continue
             init_state = impls[name][0]
             args = (
                 (example_videos, example_features) if with_features else (example_videos,)
             )
             out[name] = init_state(jax.random.fold_in(key, i), *args)
+        for group_key, _, member_idx, (init_stack, _, _) in stack_info:
+            keys = jnp.stack([jax.random.fold_in(key, i) for i in member_idx])
+            out[group_key] = init_stack(keys, example_videos)
         return out
-
-    names = list(models)
 
     @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
     def cycle(
@@ -100,6 +271,8 @@ def make_multi_cycle(
         if not merge_scans:
             new_states, losses, val_mse = {}, {}, {}
             for i, name in enumerate(names):
+                if name in stacked_names:
+                    continue
                 st, loss = impls[name].train_cycle(
                     states[name],
                     videos,
@@ -114,6 +287,19 @@ def make_multi_cycle(
                 if val_videos is not None:
                     preds = val_pred(name, st)
                     val_mse[name] = jnp.mean((preds - val_targets) ** 2)
+            for group_key, member_names, member_idx, closures in stack_info:
+                _, stack_cycle, stack_evaluate = closures
+                keys = jnp.stack([jax.random.fold_in(k_train, i) for i in member_idx])
+                sstate, stack_losses = stack_cycle(
+                    states[group_key], videos, labels, keys, lr, batch_size
+                )
+                new_states[group_key] = sstate
+                if val_videos is not None:
+                    preds = stack_evaluate(sstate, val_videos)
+                for j, member in enumerate(member_names):
+                    losses[member] = stack_losses[j]
+                    if val_videos is not None:
+                        val_mse[member] = jnp.mean((preds[j] - val_targets) ** 2)
             return new_states, losses, val_mse
 
         # Per-model permutations + dropout keys, derived exactly as the

@@ -260,3 +260,90 @@ def test_scan_unroll_grid_matches_plain_scan():
     np.testing.assert_allclose(results[1][0], results[4][0], rtol=1e-6)
     for a, b in zip(results[1][1], results[4][1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-4)
+
+
+def test_detect_activation_stacks():
+    """The baseline's 3 relu/leaky GeneralTransformer pairs group into stacks
+    (slope 0.0 for relu, the reference's fixed 0.01 for leaky_relu,
+    models.py:112); differing architectures and non-GeneralTransformers
+    stay out."""
+    from moleculardiffusion_mivit_tpu.train import detect_activation_stacks
+
+    models = {
+        "lin": GeneralTransformer(SMALL_MODEL.replace(activation="relu"), embedding="linear"),
+        "lin_leaky": GeneralTransformer(
+            SMALL_MODEL.replace(activation="leaky_relu"), embedding="linear"
+        ),
+        "cnn": GeneralTransformer(SMALL_MODEL.replace(activation="relu"), embedding="cnn"),
+        "gelu": GeneralTransformer(SMALL_MODEL.replace(activation="gelu"), embedding="cnn"),
+        "resnet": MultiImageResNet(),
+    }
+    stacks = detect_activation_stacks(models)
+    assert len(stacks) == 1
+    names, base, slopes = stacks[0]
+    assert names == ["lin", "lin_leaky"] and slopes == (0.0, 0.01)
+    assert base is models["lin"]
+
+
+def test_act_slope_matches_string_activation():
+    """A traced ``act_slope`` reproduces the string-configured activations
+    exactly on the same parameters: slope 0.01 == "leaky_relu", slope 0 ==
+    "relu" (forward; layers.py documents the gradient-at-exactly-0 caveat)."""
+    from moleculardiffusion_mivit_tpu.models import init_model
+
+    videos, _, _ = generate_cycle_data(jax.random.key(0), SMALL_TRAIN, BASELINE_OPTICS)
+    x = videos[:4]
+    relu_model = GeneralTransformer(SMALL_MODEL.replace(activation="relu"), embedding="cnn")
+    leaky_model = GeneralTransformer(
+        SMALL_MODEL.replace(activation="leaky_relu"), embedding="cnn"
+    )
+    params, bstats = init_model(relu_model, jax.random.key(1), x[:1])
+    variables = {"params": params, "batch_stats": bstats} if bstats else {"params": params}
+
+    for string_model, slope in ((relu_model, 0.0), (leaky_model, 0.01)):
+        ref = string_model.apply(variables, x, train=False)
+        out = relu_model.apply(variables, x, train=False, act_slope=jnp.float32(slope))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_multi_cycle_stack_pairs_matches_unstacked():
+    """``stack_pairs=True`` is an execution-layout change only: per-model
+    losses and validation MSEs match the unstacked fused cycle, member
+    params match within the Adam early-step tolerance (O(lr)/element — the
+    same reassociation argument as the scan-unroll tests above), and the
+    states dict carries the stacked groups."""
+    from moleculardiffusion_mivit_tpu.train.multi import make_multi_cycle
+
+    models = {
+        "lin": GeneralTransformer(SMALL_MODEL.replace(activation="relu"), embedding="linear"),
+        "lin_leaky": GeneralTransformer(
+            SMALL_MODEL.replace(activation="leaky_relu"), embedding="linear"
+        ),
+        "resnet": MultiImageResNet(),
+    }
+    key = jax.random.key(0)
+    ex, _, _ = generate_cycle_data(key, SMALL_TRAIN, BASELINE_OPTICS)
+    val, val_t = ex[:6], jnp.ones((6, 1), jnp.float32)
+
+    results = {}
+    with jax.default_matmul_precision("float32"):
+        for sp in (False, True):
+            init_states, cycle = make_multi_cycle(
+                models, SMALL_TRAIN, BASELINE_OPTICS, stack_pairs=sp
+            )
+            states = init_states(key, ex[:1])
+            for c in range(2):
+                states, losses, vm = cycle(
+                    states, jax.random.fold_in(key, c), jnp.float32(1e-4), 8, val, val_t
+                )
+            results[sp] = (losses, vm, states)
+
+    (l0, v0, s0), (l1, v1, s1) = results[False], results[True]
+    assert set(s1) == {"resnet", "stack:lin+lin_leaky"}
+    for name in models:
+        np.testing.assert_allclose(float(l1[name]), float(l0[name]), rtol=1e-4)
+        np.testing.assert_allclose(float(v1[name]), float(v0[name]), rtol=1e-3)
+    stacked = s1["stack:lin+lin_leaky"].params
+    for j, name in enumerate(["lin", "lin_leaky"]):
+        for a, b in zip(jax.tree.leaves(stacked), jax.tree.leaves(s0[name].params)):
+            np.testing.assert_allclose(np.asarray(a[j]), np.asarray(b), atol=20 * 1e-4)
