@@ -42,9 +42,20 @@ def main():
         type=int,
         default=None,
         help="epoch-scan unroll factor; default picks the measured optimum "
-        "per regime on TPU v5e (RESULTS.md): 16 at batch 1 (757.8 -> 889.3 "
-        "seq/s, identical validation losses; u32 regresses), 1 at batch "
-        ">= 16 (full unroll is ~20%% slower there)",
+        "per regime on TPU v5e (RESULTS.md): 1 with pair-stacking (unroll "
+        "4/16 regress the 4-chain cycle), 16 at batch 1 unstacked "
+        "(757.8 -> 889.3 seq/s), 1 at batch >= 16",
+    )
+    ap.add_argument(
+        "--stack-pairs",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="vmap-stack the 3 relu/leaky model pairs into one scan chain "
+        "each (train.multi.detect_activation_stacks): cuts the fused "
+        "cycle's 7 sequential chains to 4 (953 -> 1563 seq/s at batch 1 "
+        "on v5e, same update sequences). auto = on below batch 32, where "
+        "the cycle is chain-latency-bound; at batch >= 64 the stacked "
+        "batched GEMMs measured ~8%% slower (4375 vs 4727 seq/s)",
     )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
@@ -66,7 +77,14 @@ def main():
     from moleculardiffusion_mivit_tpu.train import make_multi_cycle
     from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
 
-    unroll = args.unroll if args.unroll else (16 if args.batch_size == 1 else 1)
+    stack_pairs = args.stack_pairs == "on" or (
+        args.stack_pairs == "auto" and args.batch_size < 32
+    )
+    # measured optima (RESULTS.md): the stacked 4-chain cycle is fastest at
+    # unroll 1 in every regime; unstacked keeps the round-3 u16 batch-1 pick
+    unroll = args.unroll if args.unroll else (
+        1 if stack_pairs or args.batch_size != 1 else 16
+    )
     train_cfg = TrainConfig(seed=0, scan_unroll=unroll)
     model_cfg = ModelConfig(use_pos_encoding=True)  # trainSettings.py:34
     n_seq = train_cfg.sequences_per_d * len(train_cfg.training_ds)
@@ -108,7 +126,9 @@ def main():
     # ~40 ms tunnel dispatch instead of 15.
     key = jax.random.key(0)
     ex_videos, _, _ = generate_cycle_data(key, train_cfg, BASELINE_OPTICS)
-    init_states, cycle = make_multi_cycle(models, train_cfg, BASELINE_OPTICS)
+    init_states, cycle = make_multi_cycle(
+        models, train_cfg, BASELINE_OPTICS, stack_pairs=stack_pairs
+    )
     states = init_states(key, ex_videos[:1])
 
     def run_cycle(cycle_idx):

@@ -130,6 +130,19 @@ class Experiment:
         # False: on-chip A/B showed the merged variant ~15% slower at batch 1
         # and neutral at batch 16 (see train.multi.make_multi_cycle docs).
         self.merge_scans = False
+        # inside the fused program, train groups of single-model arms that
+        # are identical up to the FF activation slope (the baseline's 3
+        # relu/leaky pairs) as ONE vmapped stack per group — fewer sequential
+        # scan chains shorten the latency-bound batch-1 cycle (953 → 1563
+        # seq/s on v5e, train.multi.detect_activation_stacks). Regime-aware:
+        # only batch regimes < 32 stack (the win is chain latency; at batch
+        # 64 the stacked batched GEMMs measured ~8% slower). States stay
+        # per-arm (stack/unstack happens inside the compiled cycle), so
+        # evaluation, history, and checkpoints are unaffected. Update
+        # sequences match the unstacked path (per-member keys derive from
+        # each arm's original index); only batched-GEMM reduction order
+        # differs. Ignored under merge_scans or use_mesh.
+        self.stack_pairs = True
         # background-compile future batch regimes while training (see
         # _start_precompile); donation-safe because the warmer owns its
         # throwaway states
@@ -235,7 +248,49 @@ class Experiment:
                 self.states[arm_name] = init_state(
                     k, videos[:1], feats[:1] if arm.with_features else None
                 )
+        self._detect_stacks()
         self._built = True
+
+    def _detect_stacks(self) -> None:
+        """Group single-model arms trainable as one vmapped stack (see the
+        ``stack_pairs`` flag): GeneralTransformers identical up to the FF
+        activation slope, video-only, no per-arm TrainConfig override, and
+        consuming the same slice of the generated data. Populates
+        ``self._stack_groups`` with ``(member_names, member_arm_indices,
+        stack_cycle)`` — indices are each arm's position in ``self.arms``,
+        which is what the fused cycle folds into ``k_train``, so stacked
+        members see the same permutation/dropout streams as unstacked."""
+        self._stack_groups = []
+        if not self.stack_pairs or self._mesh is not None:
+            return
+        from moleculardiffusion_mivit_tpu.train.multi import (
+            _make_stacked_impls,
+            detect_activation_stacks,
+        )
+
+        arm_names = list(self.arms)
+        eligible = {
+            name: arm.model
+            for name, arm in self.arms.items()
+            if isinstance(arm, ModelEntry)
+            and arm.model is not None
+            and not arm.with_features
+            and arm.train_cfg is None
+        }
+        for member_names, base_model, slopes in detect_activation_stacks(eligible):
+            by_slice: Dict[int, list] = {}
+            for n in member_names:
+                by_slice.setdefault(id(self.arms[n].slice_fn), []).append(n)
+            for sub in by_slice.values():
+                if len(sub) < 2:
+                    continue
+                sub_slopes = tuple(slopes[member_names.index(n)] for n in sub)
+                _, stack_cycle, _ = _make_stacked_impls(
+                    base_model, sub_slopes, self.train_cfg
+                )
+                self._stack_groups.append(
+                    (sub, [arm_names.index(n) for n in sub], stack_cycle)
+                )
 
     def _fused_cycle_fn(self):
         """ONE compiled program per training cycle: on-device generation +
@@ -269,6 +324,9 @@ class Experiment:
         (9 ms/cycle "measured" for a program whose true cost is ~330 ms)."""
         if getattr(self, "_fused_cycle", None) is None:
             mesh = self._mesh
+            # detected at build(); empty under merge_scans/mesh or when no
+            # two arms are stackable
+            stack_groups = getattr(self, "_stack_groups", [])
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -323,8 +381,17 @@ class Experiment:
                         (j, arm_name, arm, videos, feats, labels)
                     )
                 if not self.merge_scans:
+                    # regime-aware: stacking wins while the cycle is
+                    # chain-latency-bound (batch < 32: 953 → 1563 seq/s at
+                    # batch 1) but the stacked batched GEMMs measured ~8%
+                    # slower at batch 64 (RESULTS.md). batch_size is a
+                    # jit-static, so each regime's program branches for free.
+                    active_stacks = stack_groups if batch_size < 32 else []
+                    stacked_names = {n for g, _, _ in active_stacks for n in g}
                     for steps, items in groups.items():
                         for j, arm_name, arm, videos, feats, labels in items:
+                            if arm_name in stacked_names:
+                                continue
                             new_states[arm_name], _ = self._impls[arm_name][0](
                                 states[arm_name],
                                 videos,
@@ -334,6 +401,23 @@ class Experiment:
                                 lr,
                                 batch_size,
                             )
+                    # activation-slope stacks: members train as ONE vmapped
+                    # scan chain; states are stacked on entry and unstacked
+                    # on exit, so outside this program the layout is per-arm
+                    for member_names, member_js, stack_cycle in active_stacks:
+                        videos, _, labels = self.arms[member_names[0]].slice_fn(data)
+                        sstate = jax.tree.map(
+                            lambda *xs: jnp.stack(xs),
+                            *[states[n] for n in member_names],
+                        )
+                        keys = jnp.stack(
+                            [jax.random.fold_in(k_train, j) for j in member_js]
+                        )
+                        sstate, _ = stack_cycle(
+                            sstate, videos, labels, keys, lr, batch_size
+                        )
+                        for i, n in enumerate(member_names):
+                            new_states[n] = jax.tree.map(lambda x: x[i], sstate)
                     return new_states
                 for steps, items in groups.items():
                     if steps == 0:

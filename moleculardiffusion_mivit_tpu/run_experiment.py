@@ -58,6 +58,14 @@ def main(argv=None):
         "continue from; runs the remaining cycles based on saved history",
     )
     ap.add_argument(
+        "--no-stack-pairs",
+        action="store_true",
+        help="disable vmap-stacking of activation-slope-only model pairs "
+        "inside the fused cycle (Experiment.stack_pairs; on by default — "
+        "cuts the baseline's 7 sequential scan chains to 4, states stay "
+        "per-arm so checkpoints/eval are unaffected)",
+    )
+    ap.add_argument(
         "--mesh",
         type=str,
         default=None,
@@ -94,6 +102,8 @@ def main(argv=None):
         for arm in exp.arms.values():
             if getattr(arm, "train_cfg", None) is not None:
                 arm.train_cfg = arm.train_cfg.replace(scan_unroll=args.unroll)
+    if args.no_stack_pairs:
+        exp.stack_pairs = False
     if args.mesh:
         from moleculardiffusion_mivit_tpu.parallel import make_mesh
 

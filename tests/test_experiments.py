@@ -346,3 +346,48 @@ def test_precompile_schedule_preserves_results():
         np.testing.assert_allclose(
             exp_a.history[name]["val_avg"], exp_b.history[name]["val_avg"], rtol=1e-6
         )
+
+
+def test_experiment_stack_pairs_matches_unstacked():
+    """``Experiment.stack_pairs`` is an execution-layout change inside the
+    fused cycle only: the baseline's 3 relu/leaky pairs train as vmapped
+    stacks, but states/evaluation/history/checkpoints keep the per-arm
+    layout. Unstacked arms (resnet) must be BIT-identical — the stacking
+    neither perturbs their keys (fold_in by original arm index) nor their
+    data; stacked members match within the Adam early-step amplification of
+    batched-GEMM reassociation (same tolerance rationale as
+    tests/test_train.py::test_multi_cycle_stack_pairs_matches_unstacked)."""
+
+    def make():
+        return get_experiment(
+            "baseline", sequences_per_d=2, val_length=6, val_d_values=(1.0, 5.0)
+        )
+
+    exps = {}
+    with jax.default_matmul_precision("float32"):
+        for sp in (False, True):
+            exp = make()
+            exp.stack_pairs = sp
+            exp.build(jax.random.key(42))
+            exp.run(num_cycles=2)
+            exps[sp] = exp
+    e0, e1 = exps[False], exps[True]
+    assert not e0._stack_groups and len(e1._stack_groups) == 3
+    assert set(e0.states) == set(e1.states)  # per-arm layout preserved
+    for name in e0.states:
+        a = jax.tree.leaves(e0.states[name].params)
+        b = jax.tree.leaves(e1.states[name].params)
+        if name == "resnet":
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        else:
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=20 * 1e-4, err_msg=name
+                )
+        np.testing.assert_allclose(
+            e0.history[name]["val_avg"],
+            e1.history[name]["val_avg"],
+            rtol=0.05,
+            err_msg=name,
+        )
