@@ -76,9 +76,10 @@ def main():
     )
     from moleculardiffusion_mivit_tpu.train import make_multi_cycle
     from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
+    from moleculardiffusion_mivit_tpu.train.multi import STACK_BELOW_BATCH
 
     stack_pairs = args.stack_pairs == "on" or (
-        args.stack_pairs == "auto" and args.batch_size < 32
+        args.stack_pairs == "auto" and args.batch_size < STACK_BELOW_BATCH
     )
     # measured optima (RESULTS.md): the stacked 4-chain cycle is fastest at
     # unroll 1 in every regime; unstacked keeps the round-3 u16 batch-1 pick

@@ -1,6 +1,7 @@
 from moleculardiffusion_mivit_tpu.evaluation.validation import (  # noqa: F401
     IN_ORDER_D_VALUES,
     IN_ORDER_IMFT_D_VALUES,
+    build_in_order_data,
     error_table,
     generate_frozen_validation,
     generate_in_order_imft,

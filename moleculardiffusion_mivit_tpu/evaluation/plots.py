@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -255,14 +256,14 @@ def render_all(result_dir: str, out_dir: Optional[str] = None) -> Dict[str, str]
                 os.path.join(out_dir, f"{stem}_error_bars.png"),
                 title=f"{stem} in-order errors",
             )
-            if any(k.startswith("tr_0_") for k in tables):  # PSF×noise grid
-                for family in ("tr", "res"):
-                    if any(k.startswith(f"{family}_") for k in tables):
-                        made[f"heatmap_{family}"] = plot_psfnoise_heatmap(
-                            tables,
-                            os.path.join(out_dir, f"psfnoise_heatmap_{family}.png"),
-                            family=family,
-                        )
+            for family in ("tr", "res"):
+                # PSF×noise grid rows are exactly "{family}_{psf}_{noise}"
+                if any(re.fullmatch(rf"{family}_\d+_\d+", k) for k in tables):
+                    made[f"heatmap_{family}"] = plot_psfnoise_heatmap(
+                        tables,
+                        os.path.join(out_dir, f"psfnoise_heatmap_{family}.png"),
+                        family=family,
+                    )
 
     preds_path = os.path.join(result_dir, "in_order_predictions.npz")
     if os.path.exists(preds_path):

@@ -55,6 +55,31 @@ def generate_in_order_imft(
     return np.stack(grid)
 
 
+def build_in_order_data(
+    arr,
+    d_values,
+    key: jax.Array,
+    train_cfg: TrainConfig,
+    optics: OpticsConfig,
+    make_dataset,
+) -> Dict[str, object]:
+    """Render an in-order trajectory grid ``(n_d, n_particles, T, 2)`` (raw
+    trajectory units) into an experiment's ``in_order_data`` dict via its own
+    ``make_dataset(key, flat_trajs, train_cfg, optics)``. One shared
+    implementation of the notebooks' in-order loading (reshape → unit
+    scaling → fixed render key → d_values), used by every experiment that
+    carries a poster-style sweep."""
+    n_d, n_particles = arr.shape[:2]
+    flat = (
+        jnp.asarray(arr, jnp.float32).reshape(n_d * n_particles, arr.shape[2], 2)
+        / train_cfg.traj_div_factor
+    )
+    data = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
+    data["labels"] = None
+    data["d_values"] = np.asarray(d_values)[:n_d]
+    return data
+
+
 def generate_frozen_validation(
     seed: int = 2025,
     d_values: Sequence[float] = (1, 3, 5, 7, 9),

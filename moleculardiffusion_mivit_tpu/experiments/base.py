@@ -141,7 +141,9 @@ class Experiment:
         # evaluation, history, and checkpoints are unaffected. Update
         # sequences match the unstacked path (per-member keys derive from
         # each arm's original index); only batched-GEMM reduction order
-        # differs. Ignored under merge_scans or use_mesh.
+        # differs. Ignored under merge_scans or use_mesh. The crossover
+        # batch size lives in train.multi.STACK_BELOW_BATCH (shared with
+        # bench.py's --stack-pairs auto).
         self.stack_pairs = True
         # background-compile future batch regimes while training (see
         # _start_precompile); donation-safe because the warmer owns its
@@ -382,11 +384,17 @@ class Experiment:
                     )
                 if not self.merge_scans:
                     # regime-aware: stacking wins while the cycle is
-                    # chain-latency-bound (batch < 32: 953 → 1563 seq/s at
-                    # batch 1) but the stacked batched GEMMs measured ~8%
-                    # slower at batch 64 (RESULTS.md). batch_size is a
-                    # jit-static, so each regime's program branches for free.
-                    active_stacks = stack_groups if batch_size < 32 else []
+                    # chain-latency-bound (953 → 1563 seq/s at batch 1) but
+                    # the stacked batched GEMMs measured ~8% slower at batch
+                    # 64 (RESULTS.md). batch_size is a jit-static, so each
+                    # regime's program branches for free.
+                    from moleculardiffusion_mivit_tpu.train.multi import (
+                        STACK_BELOW_BATCH,
+                    )
+
+                    active_stacks = (
+                        stack_groups if batch_size < STACK_BELOW_BATCH else []
+                    )
                     stacked_names = {n for g, _, _ in active_stacks for n in g}
                     for steps, items in groups.items():
                         for j, arm_name, arm, videos, feats, labels in items:
@@ -753,6 +761,7 @@ class Experiment:
         way (mse of pred−true, std/4) — train_resultsPSFNoise.ipynb cell 10."""
         from moleculardiffusion_mivit_tpu.evaluation import error_table
 
+        assert self.in_order_data is not None, "experiment has no in-order sweep"
         d_values = self.in_order_data["d_values"]
         return {
             name: error_table(preds, d_values)

@@ -206,26 +206,26 @@ def build(
         from moleculardiffusion_mivit_tpu.evaluation import (
             IN_ORDER_D_VALUES,
             IN_ORDER_IMFT_D_VALUES,
+            build_in_order_data,
             generate_in_order_imft,
         )
 
         if in_order_suite == "imft":
             arr = generate_in_order_imft(t_steps=train_cfg.n_frames * p)
             d_values = IN_ORDER_IMFT_D_VALUES
-        elif "valTrajsInOrder" in frozen:
-            arr = frozen["valTrajsInOrder"]
-            d_values = IN_ORDER_D_VALUES[: arr.shape[0]]
+        elif in_order_suite == "committed":
+            arr = frozen.get("valTrajsInOrder")
+            d_values = IN_ORDER_D_VALUES
         else:
-            arr = None
-        if arr is not None:
-            n_d, n_p_particles = arr.shape[:2]
-            flat = (
-                jnp.asarray(arr, jnp.float32).reshape(n_d * n_p_particles, arr.shape[2], 2)
-                / train_cfg.traj_div_factor
+            raise ValueError(
+                f"unknown in_order_suite {in_order_suite!r}; expected 'imft' "
+                "(reconciled 100-value D=0.1..10.0 protocol) or 'committed' "
+                "(the snapshot's 70-value valTrajsInOrder asset)"
             )
-            in_order = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
-            in_order["labels"] = None
-            in_order["d_values"] = d_values
+        if arr is not None:
+            in_order = build_in_order_data(
+                arr, d_values, key, train_cfg, optics, make_dataset
+            )
 
     return Experiment(
         "images_features", train_cfg, optics, arms, generate_fn, val_data, in_order

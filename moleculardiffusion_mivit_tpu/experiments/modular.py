@@ -140,16 +140,13 @@ def build(
 
     in_order = None
     if with_in_order and "valTrajsInOrder" in frozen:
-        from moleculardiffusion_mivit_tpu.evaluation import IN_ORDER_D_VALUES
-
-        arr = frozen["valTrajsInOrder"]
-        n_d, n_particles = arr.shape[:2]
-        flat = (
-            jnp.asarray(arr, jnp.float32).reshape(n_d * n_particles, arr.shape[2], 2)
-            / train_cfg.traj_div_factor
+        from moleculardiffusion_mivit_tpu.evaluation import (
+            IN_ORDER_D_VALUES,
+            build_in_order_data,
         )
-        in_order = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
-        in_order["labels"] = None
-        in_order["d_values"] = IN_ORDER_D_VALUES[:n_d]
+
+        in_order = build_in_order_data(
+            frozen["valTrajsInOrder"], IN_ORDER_D_VALUES, key, train_cfg, optics, make_dataset
+        )
 
     return Experiment("modular", train_cfg, optics, arms, generate_fn, val_data, in_order)

@@ -41,6 +41,13 @@ from moleculardiffusion_mivit_tpu.train.loop import (
 # == the reference's fixed 0.01 (models/layers.py:37).
 SLOPE_BY_ACTIVATION = {"relu": 0.0, "leaky_relu": 0.01}
 
+# Measured crossover for activation-pair stacking (TPU v5e, RESULTS.md):
+# below this batch size the fused cycle is chain-latency-bound and stacking
+# wins (1.64x at batch 1); at/above it the stacked batched GEMMs measured
+# ~8% slower than separate chains. Single source for Experiment's per-regime
+# gate and bench.py's --stack-pairs auto.
+STACK_BELOW_BATCH = 32
+
 
 def detect_activation_stacks(models: Dict[str, Any]):
     """Group GeneralTransformer entries that are identical up to the FF

@@ -168,23 +168,29 @@ def multi_cycle_flops(
         if f:
             total += f
         for model in models.values():
-            impls = make_train_impls(model, train_cfg)
-            state_aval = jax.eval_shape(
-                impls.init_state,
-                key_aval,
-                jax.ShapeDtypeStruct((1,) + videos_aval.shape[1:], jnp.float32),
-            )
-            step = jax.jit(impls.train_step)
-            f = _flops_of(
-                step.lower(
-                    state_aval, videos_aval, labels_aval, None, idx_aval, key_aval
-                ).cost_analysis()
-            )
-            if f is None:
+            # a model outside this function's video-only contract (e.g. a
+            # feature-fusion arm whose trace demands features) must degrade
+            # to "no FLOP count", not crash the caller after its timed run
+            try:
+                impls = make_train_impls(model, train_cfg)
+                state_aval = jax.eval_shape(
+                    impls.init_state,
+                    key_aval,
+                    jax.ShapeDtypeStruct((1,) + videos_aval.shape[1:], jnp.float32),
+                )
+                step = jax.jit(impls.train_step)
+                f = _flops_of(
+                    step.lower(
+                        state_aval, videos_aval, labels_aval, None, idx_aval, key_aval
+                    ).cost_analysis()
+                )
+                if f is None:
+                    return None
+                total += f * steps
+                ev = jax.jit(impls.evaluate)
+                f = _flops_of(ev.lower(state_aval, val_aval).cost_analysis())
+                if f:
+                    total += f
+            except Exception:
                 return None
-            total += f * steps
-            ev = jax.jit(impls.evaluate)
-            f = _flops_of(ev.lower(state_aval, val_aval).cost_analysis())
-            if f:
-                total += f
     return total

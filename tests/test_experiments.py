@@ -197,6 +197,23 @@ def test_images_features_in_order_predictions_and_tables():
     assert abs(tables["MSD_Frame"]["mse"] - float((err**2).mean())) < 1e-6
 
 
+def test_images_features_rejects_unknown_in_order_suite():
+    """A typo'd suite name must raise, not silently score the wrong
+    protocol (the committed 70-value sweep vs the reconciled 100-value
+    published one differ by ~2x on the MSD rows)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="in_order_suite"):
+        get_experiment(
+            "images_features",
+            sequences_per_d=2,
+            val_length=6,
+            val_d_values=(1.0,),
+            with_in_order=True,
+            in_order_suite="imtf",
+        )
+
+
 def test_per_frame_features_causal_and_shaped():
     import jax.numpy as jnp
 
