@@ -73,8 +73,11 @@ def rotate_videos(videos: jax.Array, k: int) -> jax.Array:
 def _data_parallel_fns(train_cycle_impl, eval_impl, mesh):
     """Pure data parallelism for a single-model arm: parameters replicated,
     batch sharded over every mesh device; XLA inserts the gradient-mean psum
-    over ICI from the sharding annotations. Batch sizes must divide the
-    device count."""
+    over ICI from the sharding annotations. Training batch sizes must divide
+    the device count; evaluation accepts ANY batch — inputs are zero-padded
+    to the next mesh multiple and the padding is sliced off the output, so
+    arbitrary validation/in-order set sizes (e.g. 100 frozen sequences or
+    the 700-sequence sweep on an 8-device mesh) evaluate correctly."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axes = tuple(mesh.axis_names)
@@ -93,8 +96,21 @@ def _data_parallel_fns(train_cycle_impl, eval_impl, mesh):
         out_shardings=data_s,
     )
 
+    def _pad(x, pad):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+
     def evaluate(state, videos, features=None):
-        return ev_jit(state, videos, features)
+        pad = (-videos.shape[0]) % mesh.size
+        if pad == 0:
+            return ev_jit(state, videos, features)
+        out = ev_jit(
+            state,
+            _pad(videos, pad),
+            _pad(features, pad) if features is not None else None,
+        )
+        return out[: videos.shape[0]]
 
     return train_cycle, evaluate
 
@@ -141,9 +157,11 @@ class Experiment:
         # evaluation, history, and checkpoints are unaffected. Update
         # sequences match the unstacked path (per-member keys derive from
         # each arm's original index); only batched-GEMM reduction order
-        # differs. Ignored under merge_scans or use_mesh. The crossover
-        # batch size lives in train.multi.STACK_BELOW_BATCH (shared with
-        # bench.py's --stack-pairs auto).
+        # differs. Composes with use_mesh (members' params replicate like
+        # any single-model arm; the shared batch stays sharded over the
+        # mesh) — ignored only under merge_scans. The crossover batch size
+        # lives in train.multi.STACK_BELOW_BATCH (shared with bench.py's
+        # --stack-pairs auto).
         self.stack_pairs = True
         # background-compile future batch regimes while training (see
         # _start_precompile); donation-safe because the warmer owns its
@@ -167,7 +185,11 @@ class Experiment:
         schedule's early batch-1 cycles) is correct on a mesh; batch sizes
         that are a multiple of the data-axis size additionally avoid
         cross-shard traffic for single-model arms (see
-        tests/test_parallel.py::test_experiment_mesh_fused_cycle_batch1)."""
+        tests/test_parallel.py::test_experiment_mesh_fused_cycle_batch1).
+        Evaluation-set sizes are unconstrained (DP eval pads to a mesh
+        multiple internally), and activation-pair stacking stays active
+        (``stack_pairs``; the pairs' chains fuse on the mesh exactly as
+        single-chip — test_experiment_mesh_stack_pairs_matches_unstacked)."""
         assert not self._built, "use_mesh must be called before build()"
         self._mesh = mesh
         return self
@@ -261,9 +283,12 @@ class Experiment:
         ``self._stack_groups`` with ``(member_names, member_arm_indices,
         stack_cycle)`` — indices are each arm's position in ``self.arms``,
         which is what the fused cycle folds into ``k_train``, so stacked
-        members see the same permutation/dropout streams as unstacked."""
+        members see the same permutation/dropout streams as unstacked.
+        Mesh mode stacks too: members' states replicate exactly like any
+        single-model arm, so the stacked layout only changes on-chip
+        scheduling (fewer chains), not the sharding story."""
         self._stack_groups = []
-        if not self.stack_pairs or self._mesh is not None:
+        if not self.stack_pairs:
             return
         from moleculardiffusion_mivit_tpu.train.multi import (
             _make_stacked_impls,
@@ -326,8 +351,8 @@ class Experiment:
         (9 ms/cycle "measured" for a program whose true cost is ~330 ms)."""
         if getattr(self, "_fused_cycle", None) is None:
             mesh = self._mesh
-            # detected at build(); empty under merge_scans/mesh or when no
-            # two arms are stackable
+            # detected at build(); empty under merge_scans or when no two
+            # arms are stackable
             stack_groups = getattr(self, "_stack_groups", [])
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -411,9 +436,15 @@ class Experiment:
                             )
                     # activation-slope stacks: members train as ONE vmapped
                     # scan chain; states are stacked on entry and unstacked
-                    # on exit, so outside this program the layout is per-arm
+                    # on exit, so outside this program the layout is per-arm.
+                    # Under a mesh the shared batch keeps the single-model DP
+                    # sharding; the member axis is unsharded (params replicate
+                    # like any ModelEntry).
                     for member_names, member_js, stack_cycle in active_stacks:
                         videos, _, labels = self.arms[member_names[0]].slice_fn(data)
+                        if mesh is not None:
+                            videos = _constrain(videos, dp_data_s)
+                            labels = _constrain(labels, dp_data_s)
                         sstate = jax.tree.map(
                             lambda *xs: jnp.stack(xs),
                             *[states[n] for n in member_names],

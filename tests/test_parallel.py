@@ -315,6 +315,47 @@ def test_experiment_mesh_fused_precompile_warmer():
     assert all(np.isfinite(h["val_avg"]).all() for h in hist.values())
 
 
+def test_experiment_mesh_stack_pairs_matches_unstacked():
+    """Activation-pair stacking composes with ``use_mesh``: the baseline's 3
+    relu/leaky pairs train as vmapped stacks INSIDE the mesh-fused cycle
+    (members' params replicated like any single-model arm, batch sharded
+    over the mesh), and the result matches the unstacked mesh run within
+    the usual early-Adam reassociation tolerance."""
+    from moleculardiffusion_mivit_tpu.experiments import get_experiment
+
+    exps = {}
+    with jax.default_matmul_precision("float32"):
+        for sp in (False, True):
+            exp = get_experiment(
+                "baseline", sequences_per_d=2, val_length=6, val_d_values=(1.0, 5.0)
+            )
+            exp.stack_pairs = sp
+            exp.use_mesh(make_mesh(data=8, model=1))
+            exp.precompile_schedule = False
+            exp.build(jax.random.key(7))
+            exp.run(num_cycles=1)
+            exps[sp] = exp
+    e0, e1 = exps[False], exps[True]
+    assert not e0._stack_groups and len(e1._stack_groups) == 3
+    lr = 1e-4
+    for name in e0.states:
+        leaf = jax.tree.leaves(e1.states[name].params)[0]
+        assert leaf.sharding.is_fully_replicated, name
+        for a, b in zip(
+            jax.tree.leaves(e0.states[name].params),
+            jax.tree.leaves(e1.states[name].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=20 * lr, err_msg=name
+            )
+        np.testing.assert_allclose(
+            e0.history[name]["val_avg"],
+            e1.history[name]["val_avg"],
+            rtol=0.05,
+            err_msg=name,
+        )
+
+
 def test_experiment_use_mesh_baseline_and_grid():
     """Mesh-sharded Experiment engine: a ModelEntry experiment (pure DP,
     params replicated, batch sharded over all 8 devices) and a GridArm
