@@ -36,6 +36,13 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument(
+        "--stack-pairs",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="vmap-stack the 3 relu/leaky pairs in the fused cycle (the "
+        "bench.py default layout); auto follows train.multi.STACK_BELOW_BATCH",
+    )
     args = ap.parse_args(argv)
 
     from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
@@ -126,7 +133,15 @@ def main(argv=None):
     )
 
     # 4. fused mega-cycle (bench.py path): one dispatch for everything
-    init_states, cycle = make_multi_cycle(models, train_cfg, BASELINE_OPTICS)
+    from moleculardiffusion_mivit_tpu.train.multi import STACK_BELOW_BATCH
+
+    stack_pairs = args.stack_pairs == "on" or (
+        args.stack_pairs == "auto" and args.batch_size < STACK_BELOW_BATCH
+    )
+    breakdown["stack_pairs"] = stack_pairs
+    init_states, cycle = make_multi_cycle(
+        models, train_cfg, BASELINE_OPTICS, stack_pairs=stack_pairs
+    )
     mstates = init_states(key, videos[:1])
 
     def fused():
