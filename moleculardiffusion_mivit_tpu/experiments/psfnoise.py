@@ -39,7 +39,19 @@ def build(
     val_length: int = 30,
     val_d_values=(1.0, 3.0, 5.0, 7.0, 9.0),
     with_in_order: bool = False,
+    in_order_suite: str = "imft",
 ) -> Experiment:
+    """``in_order_suite``: which D sweep the poster-style scoring uses —
+    ``"imft"`` (default) is the RECONCILED published protocol: the
+    reference's PSFNoise loader also defines ``val_d_in_order =
+    arange(0.1, 10.01, 0.1)`` (100 values) and reshapes the rendered stack
+    to ``(len(val_d_in_order), 10, ...)`` (trainSettingsPSFNoise.py:128,
+    159-160), which the committed 70-slice asset cannot satisfy (700 ≠
+    1000 sequences) — so the published grid CSV was scored on a lost
+    100-value suite, deterministically regenerated here exactly like the
+    ImagesFeatures/Framerate reconciliation (see
+    examples/msd_protocol_reconciliation.py). ``"committed"`` scores on the
+    snapshot's 70-value valTrajsInOrder.npy (D ≤ 7.0) as rounds 1-2 did."""
     n_psf, n_noise = len(psf_settings), len(noise_settings)
     train_cfg = TrainConfig(
         seed=seed,
@@ -116,15 +128,33 @@ def build(
             val_data[d] = {"videos": vids, "labels": None}
 
     in_order = None
-    if with_in_order and "valTrajsInOrder" in trajs:
-        arr = trajs["valTrajsInOrder"]
-        n_d, n_p_particles = arr.shape[:2]
-        flat = arr.reshape(n_d * n_p_particles, arr.shape[2], 2)
-        vids = render_val(jax.random.fold_in(key, 777), flat)
-        in_order = {
-            "videos": vids,
-            "labels": None,
-            "d_values": IN_ORDER_D_VALUES[:n_d],
-        }
+    if with_in_order:
+        if in_order_suite == "imft":
+            from moleculardiffusion_mivit_tpu.evaluation import (
+                IN_ORDER_IMFT_D_VALUES,
+                generate_in_order_imft,
+            )
+
+            arr = generate_in_order_imft(t_steps=t)
+            d_values = IN_ORDER_IMFT_D_VALUES
+        elif in_order_suite == "committed":
+            arr = trajs.get("valTrajsInOrder")
+            d_values = IN_ORDER_D_VALUES
+        else:
+            raise ValueError(
+                f"unknown in_order_suite {in_order_suite!r}; expected 'imft' "
+                "(reconciled 100-value D=0.1..10.0 protocol) or 'committed' "
+                "(the snapshot's 70-value valTrajsInOrder asset)"
+            )
+        if arr is not None:
+            arr = jnp.asarray(arr)
+            n_d, n_p_particles = arr.shape[:2]
+            flat = arr.reshape(n_d * n_p_particles, arr.shape[2], 2)
+            vids = render_val(jax.random.fold_in(key, 777), flat)
+            in_order = {
+                "videos": vids,
+                "labels": None,
+                "d_values": tuple(d_values)[:n_d],
+            }
 
     return Experiment("psfnoise", train_cfg, optics, arms, generate_fn, val_data, in_order)

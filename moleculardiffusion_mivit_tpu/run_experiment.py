@@ -36,6 +36,16 @@ def main(argv=None):
         "(where the experiment supports it)",
     )
     ap.add_argument(
+        "--in-order-suite",
+        type=str,
+        default=None,
+        choices=("imft", "committed"),
+        help="which D sweep the in-order scoring uses (where the experiment "
+        "supports it): 'imft' = the reconciled 100-value D=0.1..10.0 "
+        "published protocol (default), 'committed' = the snapshot's "
+        "70-value valTrajsInOrder asset (rounds 1-2 scoring)",
+    )
+    ap.add_argument(
         "--plots",
         action="store_true",
         help="render the L8 figures (val-MSE curves, error bars/violins, "
@@ -92,10 +102,15 @@ def main(argv=None):
     from moleculardiffusion_mivit_tpu.experiments import REGISTRY
 
     kwargs = dict(seed=args.seed, sequences_per_d=args.seqs_per_d)
-    if args.in_order and "with_in_order" in inspect.signature(
-        REGISTRY[args.experiment]
-    ).parameters:
+    builder_params = inspect.signature(REGISTRY[args.experiment]).parameters
+    if args.in_order and "with_in_order" in builder_params:
         kwargs["with_in_order"] = True
+    if args.in_order_suite is not None:
+        if "in_order_suite" not in builder_params:
+            ap.error(
+                f"experiment {args.experiment!r} does not support --in-order-suite"
+            )
+        kwargs["in_order_suite"] = args.in_order_suite
     exp = get_experiment(args.experiment, **kwargs)
     if args.unroll:
         exp.train_cfg = exp.train_cfg.replace(scan_unroll=args.unroll)

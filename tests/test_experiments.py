@@ -408,3 +408,43 @@ def test_experiment_stack_pairs_matches_unstacked():
             rtol=0.05,
             err_msg=name,
         )
+
+
+def test_psfnoise_reconciled_in_order_suite():
+    """PSFNoise also scores on the reconciled 100-value sweep: the
+    reference's own loader reshapes the in-order render to
+    (len(val_d_in_order)=100, 10, ...) (trainSettingsPSFNoise.py:128,
+    159-160), which the committed 70-slice asset cannot satisfy — the
+    published grid CSV therefore used the lost 100-value suite."""
+    import pytest
+
+    exp = get_experiment(
+        "psfnoise",
+        sequences_per_d=4,
+        val_length=6,
+        psf_settings=(2.0, 1.0),
+        noise_settings=(0.0, 0.1),
+        val_d_values=(1.0,),
+        with_in_order=True,
+    )
+    d_values = exp.in_order_data["d_values"]
+    assert len(d_values) == 100 and float(d_values[-1]) == 10.0
+    # grid render carries the (N, P, Noise, F, S, S) layout for 1000 seqs
+    assert exp.in_order_data["videos"].shape[:3] == (1000, 2, 2)
+    exp.run(num_cycles=1)
+    preds = exp.in_order_predictions()
+    assert set(preds) == set(exp.model_names)
+    for p in preds.values():
+        assert p.shape == (100, 10) and np.isfinite(p).all()
+
+    with pytest.raises(ValueError, match="in_order_suite"):
+        get_experiment(
+            "psfnoise",
+            sequences_per_d=2,
+            val_length=6,
+            psf_settings=(2.0,),
+            noise_settings=(0.0,),
+            val_d_values=(1.0,),
+            with_in_order=True,
+            in_order_suite="typo",
+        )
