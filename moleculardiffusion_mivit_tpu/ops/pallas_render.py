@@ -2,27 +2,30 @@
 
 Computes the same math as ``sim.render.render_frames_core`` — pooled 1-D
 Gaussian outer products with factored peak renormalization — as a single
-Mosaic kernel: per batch tile, the 1-D exponentials run on the VPU, mean
-pooling is a matmul against a constant pooling matrix (MXU), and the frame
-assembly is a ``(S × P) @ (P × S)`` dot per element.
+Mosaic kernel in a batch-in-lanes layout: the batch rides the 128-wide lane
+dimension, the (sub-position × grid/output) structure rides sublanes, all
+index plumbing (grid repeat, pooling, outer-product expansion, Σ over
+sub-positions) is constant one-hot/block-diagonal bf16 matmuls, the peak
+normalization uses its closed form on the integer grid, and every
+value-side matmul runs as 2-3 single-pass bf16 MXU dots via hi/lo operand
+splitting (~2^-18 relative error) instead of 6-pass ``Precision.HIGHEST``
+f32 emulation. See ``_make_kernel`` for the design rationale and the
+measured cost of each rejected variant.
 
-At the reference's frame sizes (S=9..13, u=5, P≤50) XLA's own fusion of the
-lax ops is already excellent, so the XLA path stays the default; this kernel
-exists as the hand-tuned fallback should the XLA schedule regress. Select
-with ``renderer="pallas"`` in ``pallas_render_frames`` callers or benchmark
-both with ``benchmark_renderers``.
-
-Measured (TPU v5e, dispatch-amortized inside one compiled fori_loop via
-``benchmark_renderers``, 2026-08-17; see RESULTS.md): per 1920-frame render
-call XLA 166 µs vs Pallas 698 µs at 9×9 and 13×13; 154 vs 253 µs per
-256-frame call at 63×63. This tile-vectorized variant is 1.6× faster than
-the round-2 per-element-loop kernel (1135 µs) and numerically parity-checked
-on hardware (max rel diff 7.2e-7 vs the XLA path); the remaining gap is the
-frame-assembly stage — TILE_B per-element (P, S)ᵀ @ (P, S) dots that Mosaic
-runs serially for lack of a batched-dot primitive, where XLA emits one
-batched GEMM. XLA therefore remains the default on data, not just judgment;
-at 166 µs per cycle's generation the renderer is ≪1% of a training cycle
-either way.
+Measured steady-state (TPU v5e, dispatch-amortized slope between 200- and
+800-iteration compiled fori_loops, host-fetch synced — see
+``benchmark_renderers``; RESULTS.md has the full table): per 1920-frame
+9×9/u=5/P=10 render call (the reference's training unit) XLA 19.7 µs vs
+this kernel 24.4 µs (1.24×), hardware parity max rel diff 1.2e-5. Round 2's
+kernel was 563 µs on the same honest clock (the old table's "166 µs XLA /
+698 µs Pallas" folded ~135 µs of tunnel dispatch into every per-call
+number). At 13×13 the S²-row expansion matmuls still lose to XLA's batched
+GEMM (~81 vs ~14 µs), and wide-field sizes are rejected (constants scale as
+P²·S³) — so the XLA path stays the package default on data; this kernel is
+the hand-tuned option for the flagship 9×9 regime and the existence proof
+that a Mosaic kernel can sit within ~1.25× of XLA's fusion here. Renderer
+cost is ≪1% of a training cycle either way (the hot path is the
+optimizer-step scan).
 """
 
 from __future__ import annotations
@@ -35,7 +38,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_B = 8  # batch elements per program (float32 sublane)
+TILE_B = 128  # batch elements per program — the LANE dimension (×128)
+
+# the assembly constants grow as P²·S³ — refuse sizes whose constant
+# operands would not fit VMEM comfortably (reference sizes are ≤ 1 MB;
+# 63×63 wide-field would need ~100 MB and belongs on the XLA path)
+_MAX_CONST_BYTES = 8 * 2**20
 
 
 def _grid_constants(output_size: int, upsampling: int):
@@ -49,53 +57,124 @@ def _grid_constants(output_size: int, upsampling: int):
     return coords_np, pool_np
 
 
-def _make_kernel(n_sub: int, output_size: int, upsampling: int):
-    """Tile-vectorized kernel: sub-positions arrive pre-flattened as
-    ``(TILE_B·P, 1)`` blocks, so the Mosaic-unsupported in-kernel
-    ``(TB, P) → (TB·P, 1)`` relayout never happens — the round-2 kernel
-    worked around it with a per-element ``fori_loop`` that serialized the
-    tile (8× slower than XLA). Here the exponentials ((TB·P, G), VPU), the
-    peak maxima and the pooling matmuls ((TB·P, G) @ (G, S), MXU) cover the
-    WHOLE tile at once; only the S×P×S frame-assembly dots remain per
-    element, sliced statically out of the pooled rows."""
+def _split(v, terms):
+    """Split f32 values into ``terms`` bf16-representable f32 addends
+    (Dekker-style): Σ parts ≈ v with relative error ~2^(-9·terms)."""
+    parts = []
+    rem = v
+    for _ in range(terms - 1):
+        hi = jax.lax.convert_element_type(
+            jax.lax.convert_element_type(rem, jnp.bfloat16), jnp.float32
+        )
+        parts.append(hi)
+        rem = rem - hi
+    parts.append(rem)
+    return parts
+
+
+def _mm(c, v, terms=2):
+    """``c @ v`` where ``c`` is a constant whose entries are EXACT in bf16
+    (0/1 one-hot / block-diagonal here). The value operand is split into
+    ``terms`` bf16 addends so each product runs as a single-pass bf16 MXU
+    matmul with f32 accumulation: ``terms`` passes total instead of the 6
+    passes of ``Precision.HIGHEST`` f32 emulation (which measured 3.5× the
+    whole kernel: 67-75 µs vs 19.7 µs with single-pass matmuls). Error is
+    ~|v|·2^-18 for terms=2 — far below the renderer's Poisson noise and the
+    1e-4 hardware-parity budget."""
+    return sum(
+        jnp.dot(c, part, preferred_element_type=jnp.float32)
+        for part in _split(v, terms)
+    )
+
+
+def _make_kernel(n_sub: int, output_size: int, upsampling: int, limit: float):
+    """Batch-in-lanes kernel: every tensor is (rows, TILE_B) with the batch
+    along the 128-wide lane dimension and (sub-position × grid/output)
+    structure along sublanes, so nothing is ever lane-padded (the earlier
+    batch-in-sublanes variants padded the G=S·u grid axis 45→128 lanes and
+    spent 2.8× the exp/elementwise work; measured stage split at B=1920:
+    exps alone 24 µs ≥ XLA's whole 19.5 µs render).
+
+    Three structural tricks keep it relayout-free and MXU-friendly:
+
+      1. All index plumbing (repeating x over the grid, pooling, the
+         outer-product expansion, the Σ over sub-positions) is constant
+         one-hot / block-diagonal matmuls with the batch as the N dimension
+         — tiny K, full lane utilization, no shape casts:
+           x_e = REP@x; px = BD@gx; PXe = TT@px; out = SEL@(PYe·PXe)
+      2. The peak normalization max_g exp(-(c_g-x)²/2σ²) has a CLOSED FORM
+         on an integer-spaced grid: the nearest grid point is
+         clip(round(x), ±limit), so scale = w·exp((d_x²+d_y²)/2σ²) is pure
+         (P, TB) elementwise work — no lane reduce, no 3D keepdims
+         broadcast (the reduce+divide stage alone measured ~20 µs).
+      3. The per-(p,b) scale is applied to the POOLED rows (P·S, TB) —
+         pooling is linear so the row scale commutes — via one more
+         one-hot expansion REPS@scale.
+
+    The kernel writes frames transposed, (S², TILE_B); the (S², B) result
+    is transposed/reshaped to (B, S, S) outside the kernel (one small XLA
+    transpose of the final output)."""
     p, s = n_sub, output_size
+    inv_u2 = 1.0 / float(upsampling * upsampling)
 
-    def kernel(sigma_ref, coords_ref, pool_ref, x_ref, y_ref, w_ref, out_ref,
-               px_ref, pyw_ref):
-        coords = coords_ref[0, :]  # (G,)
-        pool = pool_ref[:, :]  # (G, S)
+    def kernel(sigma_ref, coords_ref, rep_ref, reps_ref, bd_ref, rr_ref,
+               tt_ref, sel_ref, x_ref, y_ref, w_ref, out_ref):
         inv2s2 = 1.0 / (2.0 * sigma_ref[0, 0] * sigma_ref[0, 0])
-
-        x = x_ref[:, :]  # (TB·P, 1)
+        x = x_ref[:, :]  # (P, TB)
         y = y_ref[:, :]
-        dx = coords[None, :] - x  # (TB·P, G)
-        dy = coords[None, :] - y
-        gx = jnp.exp(-dx * dx * inv2s2)
+        coords = coords_ref[:, :]  # (P·G, 1) — lane-broadcasts below
+
+        # 3-term split for the positions: the exps amplify dx error by
+        # ~2|dx|/2σ² ≈ 0.9/unit, so positions need ~f32 accuracy
+        x_e = _mm(rep_ref[:, :], x, terms=3)  # (P·G, TB): x over the grid
+        y_e = _mm(rep_ref[:, :], y, terms=3)
+        dx = coords - x_e
+        dy = coords - y_e
+        gx = jnp.exp(-dx * dx * inv2s2)  # (P·G, TB)
         gy = jnp.exp(-dy * dy * inv2s2)
-        mx = jnp.max(gx, axis=1, keepdims=True)  # (TB·P, 1)
-        my = jnp.max(gy, axis=1, keepdims=True)
-        px_ref[:, :] = jnp.dot(gx, pool, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # (TB·P, S)
-        py = jnp.dot(gy, pool, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        pyw_ref[:, :] = py * (w_ref[:, :] / (mx * my))  # (TB·P, S)
 
-        def one(b, _):
-            # dynamic sublane slices come off the VMEM scratch refs (Mosaic
-            # supports dynamic starts on ref indexing, not on values)
-            frame = jax.lax.dot_general(
-                pyw_ref[pl.dslice(b * p, p), :],  # (P, S)
-                px_ref[pl.dslice(b * p, p), :],  # (P, S)
-                (((0,), (0,)), ((), ())),  # contract the sub-position axis
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (S, S)
-            out_ref[b, :, :] = frame
-            return _
+        # closed-form peak max on the integer grid (spacing 1): the nearest
+        # grid point to x is clip(round(x), -limit, limit); 1/u² folds the
+        # mean-pooling normalization out of BD (keeping BD binary = exact
+        # in bf16)
+        dpx = x - jnp.clip(jnp.floor(x + 0.5), -limit, limit)  # (P, TB)
+        dpy = y - jnp.clip(jnp.floor(y + 0.5), -limit, limit)
+        scale = (w_ref[:, :] * inv_u2) * jnp.exp((dpx * dpx + dpy * dpy) * inv2s2)
 
-        jax.lax.fori_loop(0, TILE_B, one, None)
+        px = _mm(bd_ref[:, :], gx)  # (P·S, TB): block-diag sum pooling
+        pyw = _mm(bd_ref[:, :], gy) * _mm(reps_ref[:, :], scale, terms=3)
+        pxe = _mm(tt_ref[:, :], px)  # (P·S², TB): tile columns
+        pye = _mm(rr_ref[:, :], pyw)  # (P·S², TB): repeat rows
+        out_ref[:, :] = _mm(sel_ref[:, :], pye * pxe)  # (S², TB): Σ over P
 
     return kernel
+
+
+def _assembly_constants(p: int, s: int, pool_np: np.ndarray):
+    """Constant one-hot / block-diagonal operands for the batch-in-lanes
+    kernel (see _make_kernel). All f32; total VMEM for the reference sizes
+    (P=10, S=9..13) is < 2 MB."""
+    g = pool_np.shape[0]
+    rep = np.zeros((p * g, p), np.float32)  # x -> grid-repeated x
+    reps = np.zeros((p * s, p), np.float32)  # scale -> pooled-row scale
+    bd = np.zeros((p * s, p * g), np.float32)  # block-diag SUM pooling —
+    # binary (exact in bf16); the 1/u² mean normalization is folded into
+    # the kernel's elementwise scale
+    rr = np.zeros((p * s * s, p * s), np.float32)  # repeat: row i -> (i, j)
+    tt = np.zeros((p * s * s, p * s), np.float32)  # tile: row j -> (i, j)
+    sel = np.zeros((s * s, p * s * s), np.float32)  # Σ over sub-positions
+    pool_binary = (pool_np.T > 0).astype(np.float32)
+    for k in range(p):
+        rep[k * g : (k + 1) * g, k] = 1.0
+        reps[k * s : (k + 1) * s, k] = 1.0
+        bd[k * s : (k + 1) * s, k * g : (k + 1) * g] = pool_binary
+        for i in range(s):
+            rr[k * s * s + i * s : k * s * s + (i + 1) * s, k * s + i] = 1.0
+            tt[k * s * s + i * s : k * s * s + (i + 1) * s, k * s : (k + 1) * s] = np.eye(
+                s, dtype=np.float32
+            )
+        sel[:, k * s * s : (k + 1) * s * s] = np.eye(s * s, dtype=np.float32)
+    return rep, reps, bd, rr, tt, sel
 
 
 @functools.partial(
@@ -127,45 +206,70 @@ def pallas_render_frames(
 
     sigma = jnp.asarray(sigma_hr, jnp.float32).reshape(1, 1)
     coords_np, pool_np = _grid_constants(s, upsampling_factor)
-    coords = jnp.asarray(coords_np)[None, :]  # (1, G)
-    pool = jnp.asarray(pool_np)  # (G, S)
-    g = coords.shape[1]
-    # flatten sub-positions OUTSIDE the kernel (free in XLA) so each block
-    # arrives as (TILE_B·P, 1) — see _make_kernel
-    x_flat = x_hr.reshape(padded * p, 1)
-    y_flat = y_hr.reshape(padded * p, 1)
-    w_flat = intensities.reshape(padded * p, 1)
-    kernel = _make_kernel(p, s, upsampling_factor)
+    g = coords_np.shape[0]
+    const_bytes = 4 * (p * s * s) * (2 * p * s + s * s) + 4 * p * g * (p + s)
+    if const_bytes > _MAX_CONST_BYTES:
+        raise ValueError(
+            f"pallas_render_frames: assembly constants for P={p}, S={s} need "
+            f"{const_bytes / 2**20:.1f} MB of VMEM (limit "
+            f"{_MAX_CONST_BYTES / 2**20:.0f} MB); use sim.render."
+            "render_frames_core (the XLA path) for wide-field sizes"
+        )
+    limit = float((g - 1) // 2)
+    # batch-in-lanes layout: each block is (rows, TILE_B) — see _make_kernel
+    x_t = x_hr.T  # (P, B)
+    y_t = y_hr.T
+    w_t = intensities.T
+    coords_col = jnp.asarray(np.tile(coords_np, p)[:, None])  # (P·G, 1)
+    rep, reps, bd, rr, tt, sel = (
+        jnp.asarray(c) for c in _assembly_constants(p, s, pool_np)
+    )
+    kernel = _make_kernel(p, s, upsampling_factor, limit)
+
+    def _const(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def _batch(rows):
+        return pl.BlockSpec((rows, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
         grid=(padded // TILE_B,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B * p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B * p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_B * p, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _const((p * g, 1)),
+            _const((p * g, p)),
+            _const((p * s, p)),
+            _const((p * s, p * g)),
+            _const((p * s * s, p * s)),
+            _const((p * s * s, p * s)),
+            _const((s * s, p * s * s)),
+            _batch(p),
+            _batch(p),
+            _batch(p),
         ],
-        out_specs=pl.BlockSpec((TILE_B, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((padded, s, s), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TILE_B * p, s), jnp.float32),  # pooled x rows
-            pltpu.VMEM((TILE_B * p, s), jnp.float32),  # weighted pooled y rows
-        ],
+        out_specs=pl.BlockSpec((s * s, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s * s, padded), jnp.float32),
         interpret=interpret,
-    )(sigma, coords, pool, x_flat, y_flat, w_flat)
-    return out[:b]
+    )(sigma, coords_col, rep, reps, bd, rr, tt, sel, x_t, y_t, w_t)
+    return out.T.reshape(padded, s, s)[:b]
 
 
-def benchmark_renderers(batch=1920, n_sub=10, output_size=9, upsampling=5, iters=200):
+def benchmark_renderers(
+    batch=1920, n_sub=10, output_size=9, upsampling=5, iters=(200, 800)
+):
     """Time the XLA fused path vs the Pallas kernel on the current device.
 
-    ``iters`` render calls run inside ONE compiled ``fori_loop`` (each
-    iteration shifts the positions and consumes the previous frame sum, so
-    the loop can't be collapsed), amortizing tunnel-dispatch latency — the
-    same methodology as the RESULTS.md renderer table. Returns
-    {"xla_ms": ..., "pallas_ms": ...} steady-state per render call."""
+    The render calls run inside ONE compiled ``fori_loop`` (each iteration
+    shifts the positions and consumes the previous frame sum, so the loop
+    can't be collapsed). Two loop lengths are timed and the STEADY-STATE
+    per-call cost is the slope between them — the fixed per-dispatch cost
+    (~27 ms through the axon tunnel) would otherwise dominate and did
+    corrupt the round-2 table (166 µs "XLA" was ~135 µs dispatch + ~21 µs
+    render). Sync is a host fetch of the loop's scalar result:
+    ``block_until_ready`` through the tunnel returns early/non-monotonically
+    (measured 2-157 µs/call for the same program). Returns
+    {"xla_ms": ..., "pallas_ms": ...} per render call."""
     import time
 
     from moleculardiffusion_mivit_tpu.sim.render import render_frames_core
@@ -175,23 +279,34 @@ def benchmark_renderers(batch=1920, n_sub=10, output_size=9, upsampling=5, iters
     y = 4.0 * jax.random.normal(jax.random.fold_in(key, 1), (batch, n_sub))
     w = 500.0 + jax.random.normal(jax.random.fold_in(key, 2), (batch, n_sub))
     sigma = 5.96
+    lo, hi = min(iters), max(iters)
 
     def time_fn(render):
-        @jax.jit
-        def looped(x, y, w):
-            def body(i, acc):
-                out = render(
-                    x + 1e-3 * (i + acc), y, w, sigma, output_size, upsampling
-                )
-                return jnp.mean(out)
+        totals = {}
+        for n in (lo, hi):
 
-            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            @jax.jit
+            def looped(x, y, w, n=n):
+                def body(i, acc):
+                    out = render(
+                        x + 1e-3 * (i + acc), y, w, sigma, output_size, upsampling
+                    )
+                    return jnp.mean(out)
 
-        looped(x, y, w).block_until_ready()  # compile
-        t0 = time.perf_counter()
-        looped(x, y, w).block_until_ready()
-        return (time.perf_counter() - t0) / iters * 1e3
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            float(looped(x, y, w))  # compile + full device→host roundtrip
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(looped(x, y, w))
+                best = min(best, time.perf_counter() - t0)
+            totals[n] = best
+        return (totals[hi] - totals[lo]) / (hi - lo) * 1e3
 
     xla_ms = time_fn(render_frames_core)
-    pallas_ms = time_fn(pallas_render_frames)
+    try:
+        pallas_ms = time_fn(pallas_render_frames)
+    except ValueError:  # size guard: constants would not fit VMEM
+        pallas_ms = None
     return {"xla_ms": xla_ms, "pallas_ms": pallas_ms}
