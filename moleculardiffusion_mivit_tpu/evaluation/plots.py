@@ -73,6 +73,8 @@ def plot_error_bars(
     """Bar chart of in-order MSE with std error bars
     (train_resultsImagesFeatures.ipynb cell 9, ``plot_error_std``)."""
     names = list(tables)
+    if not names:
+        raise ValueError("plot_error_bars: empty error table")
     mse = [tables[n]["mse"] for n in names]
     std = [tables[n].get("std", 0.0) for n in names]
     plt.figure(figsize=(max(6, 0.9 * len(names)), 5))
@@ -251,6 +253,8 @@ def render_all(result_dir: str, out_dir: Optional[str] = None) -> Dict[str, str]
         if fname.endswith("_errors.csv"):
             tables = _load_error_csv(os.path.join(result_dir, fname))
             stem = fname[: -len("_errors.csv")]
+            if not tables:  # header-only/malformed CSV: skip, don't die at
+                continue  # the end of a multi-hour run
             made[f"{stem}_bars"] = plot_error_bars(
                 tables,
                 os.path.join(out_dir, f"{stem}_error_bars.png"),

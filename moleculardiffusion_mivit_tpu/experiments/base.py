@@ -35,6 +35,22 @@ from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
 from moleculardiffusion_mivit_tpu.train.grid import make_grid_impls
 from moleculardiffusion_mivit_tpu.train.loop import _set_lr, make_train_impls
 
+# The reference trains its out-of-range tail class (D = 10.2) on HALF the
+# per-class sequence count (trainModelsPSFNoise.py:45,128;
+# trainModelsFramerate.py:45,127)
+HALF_COUNT_D = 10.2
+
+
+def class_sequence_counts(training_ds, sequences_per_d: int) -> Tuple[int, ...]:
+    """Per-cycle sequence count for each D class — the single source of the
+    half-count tail rule, shared by the discrete generators and by
+    continuous-D curricula that must match the discrete per-cycle budget."""
+    return tuple(
+        sequences_per_d // 2 if ds[0] == HALF_COUNT_D else sequences_per_d
+        for ds in training_ds
+    )
+
+
 # data dict -> (videos, features_or_None, labels)
 SliceFn = Callable[[Dict[str, Any]], Tuple[jax.Array, Optional[jax.Array], jax.Array]]
 # data dict -> model-major (videos (M,...), features_or_None (M,...), labels (M,...))
@@ -90,27 +106,30 @@ def _data_parallel_fns(train_cycle_impl, eval_impl, mesh):
         in_shardings=(rep, data_s, data_s, data_s, rep, rep),
         out_shardings=(rep, rep),
     )
-    ev_jit = jax.jit(
-        lambda st, v, f: eval_impl(st, v, f),
-        in_shardings=(rep, data_s, data_s),
-        out_shardings=data_s,
-    )
+    def _eval_any(state, videos, features):
+        # pad/shard/eval/slice in ONE compiled program (pad is static under
+        # jit) — host-side padding cost 2-3 extra ~40 ms tunnel dispatches
+        # per arm per evaluation
+        n = videos.shape[0]
+        pad = (-n) % mesh.size
+        if pad:
+            videos = jnp.concatenate(
+                [videos, jnp.zeros((pad,) + videos.shape[1:], videos.dtype)], axis=0
+            )
+            if features is not None:
+                features = jnp.concatenate(
+                    [features, jnp.zeros((pad,) + features.shape[1:], features.dtype)],
+                    axis=0,
+                )
+        videos = jax.lax.with_sharding_constraint(videos, data_s)
+        if features is not None:
+            features = jax.lax.with_sharding_constraint(features, data_s)
+        return eval_impl(state, videos, features)[:n]
 
-    def _pad(x, pad):
-        return jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
-        )
+    ev_jit = jax.jit(_eval_any, out_shardings=rep)
 
     def evaluate(state, videos, features=None):
-        pad = (-videos.shape[0]) % mesh.size
-        if pad == 0:
-            return ev_jit(state, videos, features)
-        out = ev_jit(
-            state,
-            _pad(videos, pad),
-            _pad(features, pad) if features is not None else None,
-        )
-        return out[: videos.shape[0]]
+        return ev_jit(state, videos, features)
 
     return train_cycle, evaluate
 

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from moleculardiffusion_mivit_tpu.config import FRAMERATE_OPTICS, ModelConfig, TrainConfig
 from moleculardiffusion_mivit_tpu.evaluation import load_validation_trajectories
-from moleculardiffusion_mivit_tpu.experiments.base import Experiment, ModelEntry
+from moleculardiffusion_mivit_tpu.experiments.base import (
+    Experiment,
+    ModelEntry,
+    class_sequence_counts,
+)
 from moleculardiffusion_mivit_tpu.models import GeneralTransformer, MultiImageResNet
 from moleculardiffusion_mivit_tpu.sim import (
     normalize_images,
@@ -114,7 +118,9 @@ def build(
         from moleculardiffusion_mivit_tpu.sim.trajectory import brownian_motion
 
         d_lo, d_hi = continuous_d
-        n_total = int(sequences_per_d * 5.5)
+        # same per-cycle data budget as the discrete schedule (incl. the
+        # half-count tail class)
+        n_total = sum(class_sequence_counts(train_cfg.training_ds, sequences_per_d))
 
         def generate_fn(key):
             kd, kt, kr = jax.random.split(key, 3)
@@ -133,10 +139,11 @@ def build(
 
     else:
 
+        counts = class_sequence_counts(train_cfg.training_ds, sequences_per_d)
+
         def generate_fn(key):
             all_videos, all_labels = [], []
-            for i, ds in enumerate(train_cfg.training_ds):
-                n = sequences_per_d if ds[0] != 10.2 else sequences_per_d // 2
+            for i, (ds, n) in enumerate(zip(train_cfg.training_ds, counts)):
                 k_sim, k_render = jax.random.split(jax.random.fold_in(key, i))
                 trajs, labels = single_state(k_sim, n, t, Ds=tuple(ds))
                 trajs = trajs / train_cfg.traj_div_factor

@@ -23,7 +23,11 @@ from moleculardiffusion_mivit_tpu.evaluation import (
     IN_ORDER_D_VALUES,
     load_validation_trajectories,
 )
-from moleculardiffusion_mivit_tpu.experiments.base import Experiment, GridArm
+from moleculardiffusion_mivit_tpu.experiments.base import (
+    Experiment,
+    GridArm,
+    class_sequence_counts,
+)
 from moleculardiffusion_mivit_tpu.models import GeneralTransformer, MultiImageResNet
 from moleculardiffusion_mivit_tpu.sim import single_state, trajectories_to_video_psf_noise_grid
 
@@ -94,10 +98,11 @@ def build(
     p = train_cfg.n_pos_per_frame
     t = train_cfg.n_frames * p
 
+    counts = class_sequence_counts(train_cfg.training_ds, sequences_per_d)
+
     def generate_fn(key):
         all_videos, all_labels = [], []
-        for i, ds in enumerate(train_cfg.training_ds):
-            n = sequences_per_d if ds[0] != 10.2 else sequences_per_d // 2
+        for i, (ds, n) in enumerate(zip(train_cfg.training_ds, counts)):
             k_sim, k_render = jax.random.split(jax.random.fold_in(key, i))
             trajs, labels = single_state(k_sim, n, t, Ds=tuple(ds))
             trajs = trajs / train_cfg.traj_div_factor

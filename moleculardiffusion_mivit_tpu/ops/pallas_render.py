@@ -103,10 +103,11 @@ def _make_kernel(n_sub: int, output_size: int, upsampling: int, limit: float):
          — tiny K, full lane utilization, no shape casts:
            x_e = REP@x; px = BD@gx; PXe = TT@px; out = SEL@(PYe·PXe)
       2. The peak normalization max_g exp(-(c_g-x)²/2σ²) has a CLOSED FORM
-         on an integer-spaced grid: the nearest grid point is
-         clip(round(x), ±limit), so scale = w·exp((d_x²+d_y²)/2σ²) is pure
-         (P, TB) elementwise work — no lane reduce, no 3D keepdims
-         broadcast (the reduce+divide stage alone measured ~20 µs).
+         on a uniform grid: the Gaussian is monotone in |c-x|, so the max
+         sits at the nearest grid point, index clip(round((x+limit)/step),
+         0, G-1) — scale = w·exp((d_x²+d_y²)/2σ²) is pure (P, TB)
+         elementwise work, no lane reduce, no 3D keepdims broadcast (the
+         reduce+divide stage alone measured ~20 µs).
       3. The per-(p,b) scale is applied to the POOLED rows (P·S, TB) —
          pooling is linear so the row scale commutes — via one more
          one-hot expansion REPS@scale.
@@ -116,6 +117,12 @@ def _make_kernel(n_sub: int, output_size: int, upsampling: int, limit: float):
     transpose of the final output)."""
     p, s = n_sub, output_size
     inv_u2 = 1.0 / float(upsampling * upsampling)
+    grid_size = s * upsampling
+    g_minus_1 = float(grid_size - 1)
+    # linspace(-limit, limit, grid_size) spacing — 1 for odd grids, (g-2)/(g-1)
+    # for even ones
+    step = 2.0 * limit / g_minus_1 if grid_size > 1 else 1.0
+    inv_step = 1.0 / step
 
     def kernel(sigma_ref, coords_ref, rep_ref, reps_ref, bd_ref, rr_ref,
                tt_ref, sel_ref, x_ref, y_ref, w_ref, out_ref):
@@ -133,12 +140,17 @@ def _make_kernel(n_sub: int, output_size: int, upsampling: int, limit: float):
         gx = jnp.exp(-dx * dx * inv2s2)  # (P·G, TB)
         gy = jnp.exp(-dy * dy * inv2s2)
 
-        # closed-form peak max on the integer grid (spacing 1): the nearest
-        # grid point to x is clip(round(x), -limit, limit); 1/u² folds the
-        # mean-pooling normalization out of BD (keeping BD binary = exact
-        # in bf16)
-        dpx = x - jnp.clip(jnp.floor(x + 0.5), -limit, limit)  # (P, TB)
-        dpy = y - jnp.clip(jnp.floor(y + 0.5), -limit, limit)
+        # closed-form peak max: the Gaussian is monotone in the distance to
+        # the nearest grid point, c* = -limit + clip(round((x+limit)/step),
+        # 0, g-1)·step (handles the non-unit linspace spacing of even
+        # grid_size too); 1/u² folds the mean-pooling normalization out of
+        # BD (keeping BD binary = exact in bf16)
+        def nearest_d(v):
+            idx = jnp.clip(jnp.floor((v + limit) * inv_step + 0.5), 0.0, g_minus_1)
+            return v - (idx * step - limit)
+
+        dpx = nearest_d(x)  # (P, TB)
+        dpy = nearest_d(y)
         scale = (w_ref[:, :] * inv_u2) * jnp.exp((dpx * dpx + dpy * dpy) * inv2s2)
 
         px = _mm(bd_ref[:, :], gx)  # (P·S, TB): block-diag sum pooling
@@ -207,7 +219,15 @@ def pallas_render_frames(
     sigma = jnp.asarray(sigma_hr, jnp.float32).reshape(1, 1)
     coords_np, pool_np = _grid_constants(s, upsampling_factor)
     g = coords_np.shape[0]
-    const_bytes = 4 * (p * s * s) * (2 * p * s + s * s) + 4 * p * g * (p + s)
+    # exact constant-operand footprint: coords + rep + reps + bd + rr + tt
+    # + sel (see _assembly_constants)
+    const_bytes = 4 * (
+        p * g * (1 + p)  # coords_col, rep
+        + p * s * p  # reps
+        + p * s * p * g  # bd
+        + 2 * (p * s * s) * (p * s)  # rr, tt
+        + (s * s) * (p * s * s)  # sel
+    )
     if const_bytes > _MAX_CONST_BYTES:
         raise ValueError(
             f"pallas_render_frames: assembly constants for P={p}, S={s} need "

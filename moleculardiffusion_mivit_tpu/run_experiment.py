@@ -103,7 +103,8 @@ def main(argv=None):
 
     kwargs = dict(seed=args.seed, sequences_per_d=args.seqs_per_d)
     builder_params = inspect.signature(REGISTRY[args.experiment]).parameters
-    if args.in_order and "with_in_order" in builder_params:
+    if (args.in_order or args.in_order_suite) and "with_in_order" in builder_params:
+        # an explicit suite choice implies the in-order sweep itself
         kwargs["with_in_order"] = True
     if args.in_order_suite is not None:
         if "in_order_suite" not in builder_params:

@@ -77,13 +77,15 @@ def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
     and the CPU lowering is local and fast). Compiling is the last resort.
     Returns None when no path provides a cost model.
     """
+    lowered = None
     try:
         lowered = jitted_fn.lower(*args, **kwargs)
         flops = _flops_of(lowered.cost_analysis())
         if flops is not None:
             return flops
     except Exception:
-        lowered = None
+        pass  # keep `lowered` if lower() itself succeeded: the compile()
+        # last resort below can still use it when only cost_analysis threw
     try:
         cpus = jax.devices("cpu")
         with jax.default_device(cpus[0]):

@@ -20,3 +20,18 @@ def test_pallas_renderer_matches_xla_path():
     ours = np.asarray(pallas_render_frames(x, y, w, sigma, S, u, interpret=True))
     ref = np.asarray(render_frames_core(x, y, w, sigma, S, u))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_renderer_even_grid():
+    """Even output_size*upsampling grids have non-unit linspace spacing
+    ((g-2)/(g-1)); the kernel's closed-form peak normalization must find
+    the nearest grid point under that spacing too."""
+    key = jax.random.key(3)
+    B, P, S, u = 16, 4, 10, 5  # grid_size = 50, even
+    x = 4.0 * jax.random.normal(key, (B, P))
+    y = 4.0 * jax.random.normal(jax.random.fold_in(key, 1), (B, P))
+    w = 500.0 + jax.random.normal(jax.random.fold_in(key, 2), (B, P))
+    sigma = 5.96
+    ours = np.asarray(pallas_render_frames(x, y, w, sigma, S, u, interpret=True))
+    ref = np.asarray(render_frames_core(x, y, w, sigma, S, u))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
