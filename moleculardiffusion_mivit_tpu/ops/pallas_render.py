@@ -2,7 +2,10 @@
 
 Computes the same math as ``sim.render.render_frames_core`` — pooled 1-D
 Gaussian outer products with factored peak renormalization — as a single
-Mosaic kernel in a batch-in-lanes layout: the batch rides the 128-wide lane
+Mosaic kernel; select it pipeline-wide with
+``sim.render.set_render_backend("pallas")`` (scalar-sigma shapes at
+guard-accepted sizes; everything else falls back to XLA). Layout is
+batch-in-lanes: the batch rides the 128-wide lane
 dimension, the (sub-position × grid/output) structure rides sublanes, all
 index plumbing (grid repeat, pooling, outer-product expansion, Σ over
 sub-positions) is constant one-hot/block-diagonal bf16 matmuls, the peak

@@ -8,6 +8,7 @@ from moleculardiffusion_mivit_tpu.sim.trajectory import (  # noqa: F401
 )
 from moleculardiffusion_mivit_tpu.sim.render import (  # noqa: F401
     render_frames_core,
+    set_render_backend,
     trajectories_to_video,
     trajectories_to_video_multiple_settings,
     trajectories_to_video_psf_noise_grid,

@@ -70,6 +70,53 @@ def _pooled_gaussian_1d(
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "upsampling_factor"))
+def _render_frames_xla(
+    x_hr: jax.Array,
+    y_hr: jax.Array,
+    intensities: jax.Array,
+    sigma_hr,
+    output_size: int,
+    upsampling_factor: int,
+) -> jax.Array:
+    px, mx = _pooled_gaussian_1d(x_hr, sigma_hr, output_size, upsampling_factor)
+    py, my = _pooled_gaussian_1d(y_hr, sigma_hr, output_size, upsampling_factor)
+    w = intensities / (mx * my)
+    # (..., P, S) x (..., P, S) -> (..., S, S): batched MXU matmul. HIGHEST
+    # precision keeps full float32 accumulation on TPU (the default would
+    # round operands to bfloat16 — a ~0.4% pixel error); these contractions
+    # are tiny (S×P @ P×S) so the extra MXU passes are negligible next to the
+    # VPU exp work.
+    return jnp.einsum(
+        "...ps,...pt->...st",
+        py * w[..., None],
+        px,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+_RENDER_BACKEND = "xla"
+
+
+def set_render_backend(backend: str) -> None:
+    """Select the noise-free frame renderer: ``"xla"`` (default — fastest
+    overall, see the RESULTS.md renderer table) or ``"pallas"`` (the
+    hand-tuned Mosaic kernel, within ~1.25× of XLA at the flagship 9×9
+    size). The pallas backend handles flat/leading-batch inputs with a
+    SCALAR sigma at guard-accepted sizes and falls back to XLA otherwise
+    (e.g. the PSF-grid experiment's per-PSF sigma axis). The choice binds at
+    TRACE time, so switching clears the jit caches — already-traced callers
+    (e.g. ``trajectories_to_video``) would otherwise silently keep the
+    backend they were traced with. Intended as a once-per-process setup
+    call, before building experiments."""
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown render backend {backend!r}")
+    global _RENDER_BACKEND
+    if backend != _RENDER_BACKEND:
+        _RENDER_BACKEND = backend
+        jax.clear_caches()
+
+
 def render_frames_core(
     x_hr: jax.Array,
     y_hr: jax.Array,
@@ -93,21 +140,34 @@ def render_frames_core(
     a spot whose footprint has left the grid produces a near-zero maximum and
     a numerically meaningless frame (the reference prints
     "Particle Left the image" and divides anyway).
+
+    Dispatches to the backend chosen by ``set_render_backend`` ("xla"
+    default); the pallas kernel takes scalar-sigma batches and falls back
+    to XLA for shapes/sizes it does not support.
     """
-    px, mx = _pooled_gaussian_1d(x_hr, sigma_hr, output_size, upsampling_factor)
-    py, my = _pooled_gaussian_1d(y_hr, sigma_hr, output_size, upsampling_factor)
-    w = intensities / (mx * my)
-    # (..., P, S) x (..., P, S) -> (..., S, S): batched MXU matmul. HIGHEST
-    # precision keeps full float32 accumulation on TPU (the default would
-    # round operands to bfloat16 — a ~0.4% pixel error); these contractions
-    # are tiny (S×P @ P×S) so the extra MXU passes are negligible next to the
-    # VPU exp work.
-    return jnp.einsum(
-        "...ps,...pt->...st",
-        py * w[..., None],
-        px,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    if _RENDER_BACKEND == "pallas" and jnp.ndim(sigma_hr) == 0 and x_hr.ndim >= 2:
+        from moleculardiffusion_mivit_tpu.ops.pallas_render import pallas_render_frames
+
+        lead = x_hr.shape[:-1]
+        p = x_hr.shape[-1]
+        s = output_size
+        try:
+            flat = pallas_render_frames(
+                x_hr.reshape(-1, p),
+                y_hr.reshape(-1, p),
+                intensities.reshape(-1, p),
+                sigma_hr,
+                output_size,
+                upsampling_factor,
+                # Mosaic compiles on TPU only; elsewhere (e.g. the forced-CPU
+                # test mesh) the kernel runs in interpret mode
+                interpret=jax.default_backend() != "tpu",
+            )
+            return flat.reshape(lead + (s, s))
+        except ValueError:
+            pass  # size guard: fall back to the XLA path
+    return _render_frames_xla(
+        x_hr, y_hr, intensities, sigma_hr, output_size, upsampling_factor
     )
 
 
