@@ -127,8 +127,10 @@ def _make_kernel(n_sub: int, output_size: int, upsampling: int, limit: float):
     step = 2.0 * limit / g_minus_1 if grid_size > 1 else 1.0
     inv_step = 1.0 / step
 
+    s2p = ((s * s + 7) // 8) * 8  # sublane-aligned expansion pitch
+
     def kernel(sigma_ref, coords_ref, rep_ref, reps_ref, bd_ref, rr_ref,
-               tt_ref, sel_ref, x_ref, y_ref, w_ref, out_ref):
+               tt_ref, x_ref, y_ref, w_ref, out_ref):
         inv2s2 = 1.0 / (2.0 * sigma_ref[0, 0] * sigma_ref[0, 0])
         x = x_ref[:, :]  # (P, TB)
         y = y_ref[:, :]
@@ -158,9 +160,16 @@ def _make_kernel(n_sub: int, output_size: int, upsampling: int, limit: float):
 
         px = _mm(bd_ref[:, :], gx)  # (P·S, TB): block-diag sum pooling
         pyw = _mm(bd_ref[:, :], gy) * _mm(reps_ref[:, :], scale, terms=3)
-        pxe = _mm(tt_ref[:, :], px)  # (P·S², TB): tile columns
-        pye = _mm(rr_ref[:, :], pyw)  # (P·S², TB): repeat rows
-        out_ref[:, :] = _mm(sel_ref[:, :], pye * pxe)  # (S², TB): Σ over P
+        # expansions emit at a sublane-aligned pitch S²↑8 so the Σ over
+        # sub-positions is P aligned static slice-adds on the VPU — the
+        # one-hot contraction it replaces (K = P·S²) dominated at S=13
+        pxe = _mm(tt_ref[:, :], px)  # (P·S²p, TB): tile columns
+        pye = _mm(rr_ref[:, :], pyw)  # (P·S²p, TB): repeat rows
+        z = pye * pxe
+        acc = z[0:s2p, :]
+        for k in range(1, p):
+            acc = acc + z[k * s2p : (k + 1) * s2p, :]
+        out_ref[:, :] = acc[0 : s * s, :]  # (S², TB)
 
     return kernel
 
@@ -175,21 +184,20 @@ def _assembly_constants(p: int, s: int, pool_np: np.ndarray):
     bd = np.zeros((p * s, p * g), np.float32)  # block-diag SUM pooling —
     # binary (exact in bf16); the 1/u² mean normalization is folded into
     # the kernel's elementwise scale
-    rr = np.zeros((p * s * s, p * s), np.float32)  # repeat: row i -> (i, j)
-    tt = np.zeros((p * s * s, p * s), np.float32)  # tile: row j -> (i, j)
-    sel = np.zeros((s * s, p * s * s), np.float32)  # Σ over sub-positions
+    s2p = ((s * s + 7) // 8) * 8  # sublane-aligned expansion pitch
+    rr = np.zeros((p * s2p, p * s), np.float32)  # repeat: row i -> (i, j)
+    tt = np.zeros((p * s2p, p * s), np.float32)  # tile: row j -> (i, j)
     pool_binary = (pool_np.T > 0).astype(np.float32)
     for k in range(p):
         rep[k * g : (k + 1) * g, k] = 1.0
         reps[k * s : (k + 1) * s, k] = 1.0
         bd[k * s : (k + 1) * s, k * g : (k + 1) * g] = pool_binary
         for i in range(s):
-            rr[k * s * s + i * s : k * s * s + (i + 1) * s, k * s + i] = 1.0
-            tt[k * s * s + i * s : k * s * s + (i + 1) * s, k * s : (k + 1) * s] = np.eye(
+            rr[k * s2p + i * s : k * s2p + (i + 1) * s, k * s + i] = 1.0
+            tt[k * s2p + i * s : k * s2p + (i + 1) * s, k * s : (k + 1) * s] = np.eye(
                 s, dtype=np.float32
             )
-        sel[:, k * s * s : (k + 1) * s * s] = np.eye(s * s, dtype=np.float32)
-    return rep, reps, bd, rr, tt, sel
+    return rep, reps, bd, rr, tt
 
 
 @functools.partial(
@@ -223,13 +231,13 @@ def pallas_render_frames(
     coords_np, pool_np = _grid_constants(s, upsampling_factor)
     g = coords_np.shape[0]
     # exact constant-operand footprint: coords + rep + reps + bd + rr + tt
-    # + sel (see _assembly_constants)
+    # (see _assembly_constants)
+    s2p = ((s * s + 7) // 8) * 8
     const_bytes = 4 * (
         p * g * (1 + p)  # coords_col, rep
         + p * s * p  # reps
         + p * s * p * g  # bd
-        + 2 * (p * s * s) * (p * s)  # rr, tt
-        + (s * s) * (p * s * s)  # sel
+        + 2 * (p * s2p) * (p * s)  # rr, tt
     )
     if const_bytes > _MAX_CONST_BYTES:
         raise ValueError(
@@ -244,7 +252,7 @@ def pallas_render_frames(
     y_t = y_hr.T
     w_t = intensities.T
     coords_col = jnp.asarray(np.tile(coords_np, p)[:, None])  # (P·G, 1)
-    rep, reps, bd, rr, tt, sel = (
+    rep, reps, bd, rr, tt = (
         jnp.asarray(c) for c in _assembly_constants(p, s, pool_np)
     )
     kernel = _make_kernel(p, s, upsampling_factor, limit)
@@ -264,9 +272,8 @@ def pallas_render_frames(
             _const((p * g, p)),
             _const((p * s, p)),
             _const((p * s, p * g)),
-            _const((p * s * s, p * s)),
-            _const((p * s * s, p * s)),
-            _const((s * s, p * s * s)),
+            _const((p * s2p, p * s)),
+            _const((p * s2p, p * s)),
             _batch(p),
             _batch(p),
             _batch(p),
@@ -274,7 +281,7 @@ def pallas_render_frames(
         out_specs=pl.BlockSpec((s * s, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s * s, padded), jnp.float32),
         interpret=interpret,
-    )(sigma, coords_col, rep, reps, bd, rr, tt, sel, x_t, y_t, w_t)
+    )(sigma, coords_col, rep, reps, bd, rr, tt, x_t, y_t, w_t)
     return out.T.reshape(padded, s, s)[:b]
 
 
