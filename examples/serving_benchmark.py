@@ -13,7 +13,24 @@ outputs are NOT donated, so ``block_until_ready`` on them is a correct sync
 (the donated-buffer hazard in CLAUDE.md applies to training state, not
 here).
 
+``--per-arm OUT.json`` instead times the forward pass of each poster arm
+(MSD_Frame, ft_mlp, im_resnet, im_tr, im_ft_early_tr — the poster's
+MSD/MLP/CNN/ViT/MiViT) given its own input kind, and writes
+``{arm: [mean_ms, std_ms]}`` per 10k sequences. Dropped next to a result
+directory's ``*_errors.csv`` as ``inference_times.json``, it feeds the
+poster's cost-vs-accuracy scatter (outPoster/poster_plots_final.ipynb
+cell 3; ``evaluation.plots.plot_accuracy_vs_cost`` via ``render_all``).
+Costs are the arm's forward only — feature extraction/tracking upstream of
+the MLP/fusion arms is excluded, matching the poster's per-model framing.
+Per-arm timing uses the two-loop-slope method (the forward runs inside ONE
+compiled ``fori_loop``; the per-call cost is the slope between two loop
+lengths, synced by host-fetching the scalar result) because the fixed
+~27 ms-per-dispatch tunnel cost would otherwise swamp the cheap arms —
+``ops.pallas_render.benchmark_renderers`` is the reference implementation
+of this method and documents the failure mode.
+
 Run: python examples/serving_benchmark.py [--batches 256 1024 4096] [--iters 20]
+     python examples/serving_benchmark.py --per-arm results/<dir>/inference_times.json
 """
 
 import argparse
@@ -23,6 +40,113 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _per_arm(out_path: str, batch: int, iters: int, repeats: int = 3):
+    """Time each poster arm's forward at ``batch`` and write
+    ``{arm: [mean_ms, std_ms]}`` per 10k sequences to ``out_path``.
+
+    Steady-state per-call cost is the slope between compiled loops of
+    ``iters`` and ``4*iters`` forwards (host-fetch synced, best of
+    ``repeats``); see the module docstring for why a plain timing loop is
+    invalid through the TPU tunnel."""
+    import numpy as np
+
+    from moleculardiffusion_mivit_tpu.config import ModelConfig
+    from moleculardiffusion_mivit_tpu.experiments.images_features import FeatureMLP
+    from moleculardiffusion_mivit_tpu.features import N_FEATURES, d_from_msd_tau1
+    from moleculardiffusion_mivit_tpu.models import (
+        GeneralTransformer,
+        MultiImageResNet,
+        init_model,
+    )
+
+    cfg = ModelConfig()
+    key = jax.random.key(0)
+    videos = jax.random.normal(key, (batch, 30, cfg.patch_size, cfg.patch_size))
+    feats = jax.random.normal(jax.random.fold_in(key, 1), (batch, N_FEATURES))
+    trajs = jnp.cumsum(
+        jax.random.normal(jax.random.fold_in(key, 2), (batch, 30, 2)), axis=1
+    )
+
+    def fwd(model, *inputs):
+        params, batch_stats = init_model(model, key, *inputs)
+
+        @jax.jit
+        def f(*xs):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            return model.apply(variables, *xs, train=False)
+
+        return f
+
+    arms = {
+        "MSD_Frame": (jax.jit(lambda t: d_from_msd_tau1(t) * 37.5), (trajs,)),
+        "ft_mlp": (fwd(FeatureMLP(), feats), (feats,)),
+        "im_resnet": (fwd(MultiImageResNet(), videos), (videos,)),
+        "im_tr": (fwd(GeneralTransformer(cfg, embedding="deep_resnet"), videos), (videos,)),
+        "im_ft_early_tr": (
+            fwd(
+                GeneralTransformer(
+                    cfg,
+                    embedding="deep_resnet",
+                    use_global_features=True,
+                    fusion_type="early",
+                ),
+                videos,
+                feats,
+            ),
+            (videos, feats),
+        ),
+    }
+    def time_slope(f, inputs, lo, hi):
+        """Best-of-``repeats`` per-call seconds via the two-loop slope, plus
+        the spread of per-repeat slopes for error bars."""
+        mins, runs = {}, {}
+        for n in (lo, hi):
+
+            @jax.jit
+            def looped(*xs, n=n):
+                def body(i, acc):
+                    # acc feeds back into the inputs so XLA can't hoist the
+                    # (otherwise loop-invariant) forward out of the loop
+                    shifted = tuple(x * (1.0 + 1e-6 * acc) for x in xs)
+                    return jnp.mean(f(*shifted)).astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            float(looped(*inputs))  # compile + full device->host roundtrip
+            runs[n] = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                float(looped(*inputs))
+                runs[n].append(time.perf_counter() - t0)
+            mins[n] = min(runs[n])
+        per_call = (mins[hi] - mins[lo]) / (hi - lo)
+        spreads = [(b - a) / (hi - lo) for a, b in zip(runs[lo], runs[hi])]
+        return per_call, float(np.std(spreads))
+
+    times = {}
+    for name, (f, inputs) in arms.items():
+        # escalate loop lengths until the timed delta clears the ~ms tunnel
+        # timing noise — the MSD/MLP arms are microseconds per call and are
+        # invisible at loop lengths that suit the transformer arms
+        lo = iters
+        while True:
+            sec, sec_std = time_slope(f, inputs, lo, 4 * lo)
+            if sec * 3 * lo > 0.05 or lo >= 10_000 * iters:
+                break
+            lo *= 16
+        # a still-sub-noise-floor arm can slope slightly negative; floor at 0
+        # and let the plot layer skip it rather than emit a bogus negative cost
+        sec = max(sec, 0.0)
+        scale = 10_000 / batch * 1e3  # per-call sec -> ms per 10k sequences
+        times[name] = [round(sec * scale, 4), round(sec_std * scale, 4)]
+        print(json.dumps({name: times[name]}), flush=True)
+    with open(out_path, "w") as fh:
+        json.dump(times, fh, indent=1)
+    print(f"wrote {out_path}", file=sys.stderr)
 
 
 def main(argv=None):
@@ -35,7 +159,18 @@ def main(argv=None):
         help="also time the 4-rotation test-time-augmentation forward "
         "(trainSettingsImagesFeatures.py:255-300) to pin its cost factor",
     )
+    ap.add_argument(
+        "--per-arm",
+        metavar="OUT_JSON",
+        default=None,
+        help="time the five poster arms instead and write "
+        "{arm: [mean_ms, std_ms]} per 10k sequences (feeds "
+        "evaluation.plots.plot_accuracy_vs_cost)",
+    )
     args = ap.parse_args(argv)
+    if args.per_arm:
+        _per_arm(args.per_arm, batch=args.batches[0], iters=args.iters)
+        return
 
     from moleculardiffusion_mivit_tpu.config import ModelConfig
     from moleculardiffusion_mivit_tpu.experiments.base import rotate_videos

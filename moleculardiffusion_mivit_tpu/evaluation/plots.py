@@ -213,6 +213,55 @@ def plot_msd_vs_lag(
     return out_png
 
 
+def plot_accuracy_vs_cost(
+    times: Dict[str, Sequence[float]],
+    tables: Dict[str, Dict[str, float]],
+    out_png: str,
+    unit: str = "ms / 10k sequences",
+) -> str:
+    """Inference-cost vs accuracy scatter — the poster's time-vs-MSE figure
+    (outPoster/poster_plots_final.ipynb cell 3 ``plot_time_vs_error``:
+    log-x scatter of per-model prediction time with std error bars, each
+    point labeled). ``times[name] = (mean, std)`` in ``unit``; accuracy
+    comes from ``tables[name]["mse"]``. Models missing from either dict are
+    skipped. The reference's published costs (MSD 0.429 ms … MiViT
+    11600 ms per 10k images, unspecified GPU) are not directly comparable
+    to TPU numbers; the *shape* of the tradeoff curve is the figure's point."""
+    # non-positive timings are sub-noise-floor slope measurements (see
+    # examples/serving_benchmark.py --per-arm) — unusable on a log axis
+    names = [n for n in times if n in tables and times[n][0] > 0]
+    if not names:
+        raise ValueError(
+            f"plot_accuracy_vs_cost: no overlap between timed models "
+            f"{sorted(times)} and error table {sorted(tables)}"
+        )
+    x = np.array([times[n][0] for n in names], float)
+    xerr = np.array([float(times[n][1]) if len(times[n]) > 1 else 0.0 for n in names])
+    y = np.array([tables[n]["mse"] for n in names], float)
+    plt.figure(figsize=(7, 5))
+    order = np.argsort(x)
+    cmap = plt.get_cmap("viridis")
+    for rank, i in enumerate(order):
+        plt.errorbar(
+            x[i], y[i], xerr=xerr[i], fmt="o", markersize=9,
+            color=cmap(rank / max(1, len(names) - 1)),
+            markeredgecolor="gray", capsize=3,
+        )
+        plt.annotate(
+            names[i], (x[i], y[i]), textcoords="offset points",
+            xytext=(6, 6), fontsize=10,
+        )
+    plt.xscale("log")
+    plt.xlabel(f"Inference time ({unit})")
+    plt.ylabel("Mean squared error")
+    plt.title("Prediction cost vs accuracy")
+    plt.grid(True, alpha=0.4)
+    plt.tight_layout()
+    plt.savefig(out_png, dpi=130)
+    plt.close()
+    return out_png
+
+
 def _load_error_csv(path: str) -> Dict[str, Dict[str, float]]:
     out = {}
     with open(path) as f:
@@ -268,6 +317,23 @@ def render_all(result_dir: str, out_dir: Optional[str] = None) -> Dict[str, str]
                         os.path.join(out_dir, f"psfnoise_heatmap_{family}.png"),
                         family=family,
                     )
+
+    times_path = os.path.join(result_dir, "inference_times.json")
+    if os.path.exists(times_path):
+        with open(times_path) as f:
+            times = json.load(f)
+        # pick the error table sharing the most model names with the timings
+        best, overlap = None, 0
+        for fname in sorted(os.listdir(result_dir)):
+            if fname.endswith("_errors.csv"):
+                t = _load_error_csv(os.path.join(result_dir, fname))
+                n = sum(1 for k in times if k in t)
+                if n > overlap:
+                    best, overlap = t, n
+        if best and overlap >= 2:
+            made["accuracy_vs_cost"] = plot_accuracy_vs_cost(
+                times, best, os.path.join(out_dir, "accuracy_vs_cost.png")
+            )
 
     preds_path = os.path.join(result_dir, "in_order_predictions.npz")
     if os.path.exists(preds_path):

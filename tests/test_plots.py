@@ -28,6 +28,10 @@ def test_render_all_from_artifacts(tmp_path):
         m2=rng.uniform(0.5, 2.5, (2, 5)),
     )
 
+    (tmp_path / "inference_times.json").write_text(
+        json.dumps({"tr_0_0": [1.5, 0.1], "res_0_0": [30.0, 2.0], "absent": [9.9, 0.0]})
+    )
+
     made = plots.render_all(str(tmp_path))
     expected = {
         "history",
@@ -36,10 +40,20 @@ def test_render_all_from_artifacts(tmp_path):
         "heatmap_res",
         "pred_vs_d",
         "violins",
+        "accuracy_vs_cost",
     }
     assert expected <= set(made), sorted(made)
     for path in made.values():
         assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_accuracy_vs_cost_requires_overlap(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        plots.plot_accuracy_vs_cost(
+            {"a": (1.0, 0.1)}, {"b": {"mse": 0.5}}, str(tmp_path / "x.png")
+        )
 
 
 def test_msd_vs_lag_plot(tmp_path):
