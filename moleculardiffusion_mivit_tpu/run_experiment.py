@@ -22,7 +22,7 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("experiment", help="baseline | psfnoise | framerate | embeddings | images_features | denoising")
+    ap.add_argument("experiment", help="baseline | psfnoise | framerate | embeddings | images_features | denoising | modular")
     ap.add_argument("--cycles", type=int, default=None, help="override num_cycles")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seqs-per-d", type=int, default=64)
