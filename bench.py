@@ -57,6 +57,16 @@ def main():
         "the cycle is chain-latency-bound; at batch >= 64 the stacked "
         "batched GEMMs measured ~8%% slower (4375 vs 4727 seq/s)",
     )
+    ap.add_argument(
+        "--cycles-per-dispatch",
+        type=int,
+        default=1,
+        help="fuse K cycles into ONE device dispatch (lax.scan over per-cycle "
+        "key/LR — train.multi.make_scanned_multi_cycle). Measured ~neutral "
+        "at batch 1 on v5e (1668 vs 1662 seq/s: the async dispatch queue "
+        "already pipelines per-cycle launches, RESULTS.md), so default 1; "
+        "--cycles must be a multiple.",
+    )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -74,7 +84,10 @@ def main():
         MultiImageResNet,
         get_transformer_models,
     )
-    from moleculardiffusion_mivit_tpu.train import make_multi_cycle
+    from moleculardiffusion_mivit_tpu.train import (
+        make_multi_cycle,
+        make_scanned_multi_cycle,
+    )
     from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
     from moleculardiffusion_mivit_tpu.train.multi import STACK_BELOW_BATCH
 
@@ -127,26 +140,47 @@ def main():
     # ~40 ms tunnel dispatch instead of 15.
     key = jax.random.key(0)
     ex_videos, _, _ = generate_cycle_data(key, train_cfg, BASELINE_OPTICS)
-    init_states, cycle = make_multi_cycle(
-        models, train_cfg, BASELINE_OPTICS, stack_pairs=stack_pairs
-    )
-    states = init_states(key, ex_videos[:1])
-
-    def run_cycle(cycle_idx):
-        nonlocal states
-        k = jax.random.fold_in(key, 10_000 + cycle_idx)
-        states, _, val_mse = cycle(
-            states, k, jnp.float32(train_cfg.lr), args.batch_size, val_concat, val_targets
+    cpd = args.cycles_per_dispatch
+    if args.cycles % cpd or args.warmup < 1:
+        raise SystemExit(
+            f"--cycles ({args.cycles}) must be a positive multiple of "
+            f"--cycles-per-dispatch ({cpd}) and --warmup >= 1"
         )
-        return val_mse
+    if cpd == 1:
+        init_states, cycle = make_multi_cycle(
+            models, train_cfg, BASELINE_OPTICS, stack_pairs=stack_pairs
+        )
+    else:
+        init_states, scanned = make_scanned_multi_cycle(
+            models, train_cfg, BASELINE_OPTICS, stack_pairs=stack_pairs
+        )
+    states = init_states(key, ex_videos[:1])
+    lr = jnp.float32(train_cfg.lr)
+
+    def run_block(block_idx):
+        """One device dispatch = ``cpd`` full cycles; returns the last
+        cycle's val-MSE dict (fresh computed outputs — safe to sync on)."""
+        nonlocal states
+        base = 10_000 + block_idx * cpd
+        if cpd == 1:
+            k = jax.random.fold_in(key, base)
+            states, _, val_mse = cycle(
+                states, k, lr, args.batch_size, val_concat, val_targets
+            )
+            return val_mse
+        ks = jnp.stack([jax.random.fold_in(key, base + i) for i in range(cpd)])
+        states, _, val_mse = scanned(
+            states, ks, jnp.full((cpd,), lr), args.batch_size, val_concat, val_targets
+        )
+        return {name: v[-1] for name, v in val_mse.items()}
 
     for w in range(args.warmup):
-        r = run_cycle(-1 - w)
+        r = run_block(-1 - w)
         jax.block_until_ready(r)
 
     t0 = time.perf_counter()
-    for c in range(args.cycles):
-        r = run_cycle(c)
+    for c in range(args.cycles // cpd):
+        r = run_block(c)
     jax.block_until_ready(r)
     elapsed = time.perf_counter() - t0
 

@@ -14,4 +14,5 @@ from moleculardiffusion_mivit_tpu.train.grid import (  # noqa: F401
 from moleculardiffusion_mivit_tpu.train.multi import (  # noqa: F401
     detect_activation_stacks,
     make_multi_cycle,
+    make_scanned_multi_cycle,
 )

@@ -218,6 +218,81 @@ def make_multi_cycle(
     ``TrainState`` leaves. Video-only, unmerged path only (ignored under
     ``with_features`` / ``merge_scans``).
     """
+    init_states, cycle_impl = _build_multi_cycle(
+        models, train_cfg, optics, with_features, merge_scans, stack_pairs
+    )
+    return init_states, jax.jit(
+        cycle_impl, static_argnames=("batch_size",), donate_argnums=(0,)
+    )
+
+
+def make_scanned_multi_cycle(
+    models: Dict[str, Any],
+    train_cfg: TrainConfig,
+    optics: OpticsConfig,
+    with_features: bool = False,
+    merge_scans: bool = False,
+    stack_pairs: bool = False,
+):
+    """``make_multi_cycle`` with K cycles fused into ONE dispatch.
+
+    Returns ``(init_states, cycles)`` where
+    ``cycles(states, keys (K,), lrs (K,), batch_size, val_videos=None,
+    val_targets=None, val_features=None)`` runs K full cycles (generation +
+    every model's epoch + optional validation) as a single compiled program:
+    a ``lax.scan`` over per-cycle ``(key, lr)`` whose body is the ordinary
+    fused cycle. The body is traced ONCE, so compile time stays that of one
+    cycle while host↔device round-trips drop from K to 1. Measured on the
+    v5e tunnel this is ~neutral for throughput (1668 vs 1662 seq/s at
+    batch 1, RESULTS.md): JAX's async dispatch queue already pipelines
+    per-cycle launches when nothing is fetched between them. It remains the
+    right shape for drivers that DO sync per dispatch (per-block metric
+    fetches, hosts with slow launch paths) and as the scan-over-cycles
+    building block for whole-run-on-device protocols.
+
+    Per-cycle losses/val-MSEs come back stacked along a leading (K,) axis, so
+    history stays complete. Batch size is static: one compiled program per
+    batch regime, exactly like the per-cycle variant. Each distinct K also
+    compiles its own program — callers should chunk a run into a fixed K and
+    a remainder, not scan a different K every call.
+    """
+    init_states, cycle_impl = _build_multi_cycle(
+        models, train_cfg, optics, with_features, merge_scans, stack_pairs
+    )
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
+    def cycles(
+        states,
+        keys,
+        lrs,
+        batch_size: int,
+        val_videos=None,
+        val_targets=None,
+        val_features=None,
+    ):
+        def body(st, x):
+            k, lr = x
+            st, losses, val_mse = cycle_impl(
+                st, k, lr, batch_size, val_videos, val_targets, val_features
+            )
+            return st, (losses, val_mse)
+
+        states, (losses, val_mse) = jax.lax.scan(body, states, (keys, lrs))
+        return states, losses, val_mse
+
+    return init_states, cycles
+
+
+def _build_multi_cycle(
+    models: Dict[str, Any],
+    train_cfg: TrainConfig,
+    optics: OpticsConfig,
+    with_features: bool,
+    merge_scans: bool,
+    stack_pairs: bool,
+):
+    """Shared builder: ``(init_states, UNJITTED cycle)`` — see
+    ``make_multi_cycle`` for the cycle's semantics."""
     stacks = (
         detect_activation_stacks(models)
         if stack_pairs and not with_features and not merge_scans
@@ -255,7 +330,6 @@ def make_multi_cycle(
             out[group_key] = init_stack(keys, example_videos)
         return out
 
-    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
     def cycle(
         states,
         key,

@@ -155,6 +155,62 @@ def test_multi_cycle_merged_scan_matches_per_model():
         assert np.isfinite(float(losses[name]))
 
 
+def test_scanned_multi_cycle_matches_sequential_dispatches():
+    """K cycles fused into one dispatch (make_scanned_multi_cycle: lax.scan
+    over per-cycle key/LR) must reproduce K sequential fused-cycle dispatches
+    exactly — same states, same per-cycle losses and val MSEs."""
+    from moleculardiffusion_mivit_tpu.train.multi import (
+        make_multi_cycle,
+        make_scanned_multi_cycle,
+    )
+
+    models = {
+        "tr": GeneralTransformer(SMALL_MODEL.replace(dropout=0.1), embedding="linear"),
+        "res": MultiImageResNet(),
+    }
+    key = jax.random.key(11)
+    videos, _, _ = generate_cycle_data(key, SMALL_TRAIN, BASELINE_OPTICS)
+    val_videos = videos[:6]
+    val_targets = jnp.ones((6, 1), jnp.float32)
+
+    k_cycles = [jax.random.fold_in(key, 100 + c) for c in range(3)]
+    lrs = [1e-4, 9e-5, 8e-5]
+
+    init_states, cycle = make_multi_cycle(models, SMALL_TRAIN, BASELINE_OPTICS)
+    ref_states = init_states(jax.random.key(1), videos[:1])
+    ref_losses, ref_val = [], []
+    for k, lr in zip(k_cycles, lrs):
+        ref_states, losses, val_mse = cycle(
+            ref_states, k, jnp.float32(lr), 8, val_videos, val_targets
+        )
+        ref_losses.append(losses)
+        ref_val.append(val_mse)
+
+    init_states2, scanned = make_scanned_multi_cycle(models, SMALL_TRAIN, BASELINE_OPTICS)
+    states = init_states2(jax.random.key(1), videos[:1])
+    states, losses, val_mse = scanned(
+        states,
+        jnp.stack(k_cycles),
+        jnp.asarray(lrs, jnp.float32),
+        8,
+        val_videos,
+        val_targets,
+    )
+
+    for name in models:
+        for a, b in zip(
+            jax.tree.leaves(ref_states[name].params),
+            jax.tree.leaves(states[name].params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        got_losses = np.asarray(losses[name])
+        got_val = np.asarray(val_mse[name])
+        assert got_losses.shape == (3,) and got_val.shape == (3,)
+        for c in range(3):
+            np.testing.assert_allclose(got_losses[c], np.asarray(ref_losses[c][name]), rtol=2e-5, atol=1e-6)
+            np.testing.assert_allclose(got_val[c], np.asarray(ref_val[c][name]), rtol=2e-5, atol=1e-6)
+
+
 def test_batch_size_schedule_doubles_and_caps():
     """Reference schedule: batch starts at 1 and doubles every
     `adaptive_batch_size` cycles (trainModels.py:102-108). TPU addition:
