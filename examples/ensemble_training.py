@@ -1,0 +1,190 @@
+"""Beyond the reference: a vmapped MiViT ensemble.
+
+The reference trains one model per arm; on TPU the *model axis* is nearly
+free (train.grid vmaps stacked parameters into one program whose batched
+GEMMs actually fill the MXU — the same machinery that trains the 60-model
+PSFNoise grid). This script trains K members of the flagship early-fusion
+MiViT (GeneralTransformer, deep-ResNet embedding + 25-feature early fusion,
+models.py:278-361) as ONE vmapped program, each member on INDEPENDENTLY
+generated continuous-D data every cycle — bagging with a fresh infinite
+dataset — and evaluates the ensemble-mean prediction on the frozen in-order
+protocol (both the reconciled 100-value D = 0.1..10.0 suite and the
+snapshot's committed 70-value asset), optionally composed with the
+reference's own rotation TTA.
+
+Run: python examples/ensemble_training.py [--members 8] [--cycles 150]
+     [--n 256] [--out results/ensemble]
+"""
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.evaluation import (
+    IN_ORDER_D_VALUES,
+    IN_ORDER_IMFT_D_VALUES,
+    error_table,
+    generate_in_order_imft,
+    load_validation_trajectories,
+)
+from moleculardiffusion_mivit_tpu.experiments.base import rotate_videos
+from moleculardiffusion_mivit_tpu.experiments.images_features import make_dataset
+from moleculardiffusion_mivit_tpu.features import N_FEATURES
+from moleculardiffusion_mivit_tpu.models import GeneralTransformer
+from moleculardiffusion_mivit_tpu.sim.trajectory import brownian_motion
+from moleculardiffusion_mivit_tpu.train import make_grid_impls
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--members", type=int, default=8)
+    ap.add_argument("--cycles", type=int, default=150)
+    ap.add_argument("--n", type=int, default=256, help="sequences per member per cycle")
+    ap.add_argument("--d-low", type=float, default=0.1)
+    ap.add_argument(
+        "--d-high",
+        type=float,
+        default=10.5,
+        help="continuous-D curriculum upper bound; covers the reconciled "
+        "suite's D = 0.1..10.0 sweep (the reference's own high classes go to "
+        "10.2, trainModelsFramerate.py:45)",
+    )
+    ap.add_argument("--eval-chunk", type=int, default=100, help="sequences per eval call")
+    ap.add_argument("--out", default="results/ensemble")
+    args = ap.parse_args()
+
+    train_cfg = TrainConfig(seed=0, adaptive_batch_size=20, initial_batch_size=1)
+    model_cfg = ModelConfig(use_pos_encoding=False)
+    optics = BASELINE_OPTICS
+    p, f = train_cfg.n_pos_per_frame, train_cfg.n_frames
+    m = args.members
+
+    def generate_one(key):
+        """One member's fresh cycle dataset: continuous D ~ U(low, high)."""
+        kd, kt, kdata = jax.random.split(key, 3)
+        d = jax.random.uniform(kd, (args.n,), minval=args.d_low, maxval=args.d_high)
+        trajs = brownian_motion(kt, args.n, f, p, d, float(p)) / train_cfg.traj_div_factor
+        data = make_dataset(kdata, trajs, train_cfg, optics)
+        labels = (d / train_cfg.d_max_normalization)[:, None]
+        return data["videos"], data["features"], labels
+
+    model = GeneralTransformer(
+        model_cfg,
+        embedding="deep_resnet",
+        use_global_features=True,
+        fusion_type="early",
+        global_feature_dim=N_FEATURES,
+    )
+    impls = make_grid_impls(model, train_cfg, with_features=True)
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
+    def cycle(grid, key, lr, batch_size: int):
+        """ONE dispatch: per-member independent generation + the vmapped
+        K-member epoch (train.grid)."""
+        k_gen, k_train = jax.random.split(key)
+        videos, feats, labels = jax.vmap(generate_one)(jax.random.split(k_gen, m))
+        return impls.train_cycle(grid, videos, labels, feats, k_train, lr, batch_size)
+
+    key = jax.random.key(0)
+    v0, f0, _ = generate_one(key)
+    grid = impls.init_grid(jax.random.key(1), m, v0[:1], f0[:1])
+
+    t0 = time.time()
+    for c in range(args.cycles):
+        grid, losses = cycle(
+            grid,
+            jax.random.fold_in(key, 10 + c),
+            jnp.float32(train_cfg.lr_for_cycle(c)),
+            train_cfg.batch_size_for_cycle(c),
+        )
+        if (c + 1) % 25 == 0:
+            lo = np.asarray(losses)
+            print(
+                f"cycle {c+1}/{args.cycles} losses "
+                f"[{lo.min():.5f} .. {lo.max():.5f}]",
+                flush=True,
+            )
+    train_s = time.time() - t0
+    print(f"{m}-member ensemble trained in {train_s:.0f}s")
+
+    eval_j = jax.jit(impls.evaluate)
+
+    def member_preds(videos, feats, tta: bool):
+        """(M, N) per-member predictions, chunked (grid eval activations OOM
+        at full suite size — CLAUDE.md), optionally averaged over the
+        reference's 0/90/180/270° rotation TTA."""
+        outs = []
+        for i in range(0, videos.shape[0], args.eval_chunk):
+            v = videos[i : i + args.eval_chunk]
+            ft = feats[i : i + args.eval_chunk]
+            ftm = jnp.broadcast_to(ft, (m,) + ft.shape)
+            rots = range(4) if tta else (0,)
+            pred = jnp.mean(
+                jnp.stack(
+                    [
+                        eval_j(grid, jnp.broadcast_to(rotate_videos(v, k), (m,) + v.shape), ftm)
+                        for k in rots
+                    ]
+                ),
+                axis=0,
+            )
+            outs.append(np.asarray(pred[..., 0]))
+        return np.concatenate(outs, axis=1)  # (M, N)
+
+    os.makedirs(args.out, exist_ok=True)
+    report = {"members": m, "cycles": args.cycles, "n_per_member": args.n,
+              "d_range": [args.d_low, args.d_high], "train_seconds": round(train_s, 1)}
+
+    frozen = load_validation_trajectories(length=f)
+    suites = {
+        "imft": (generate_in_order_imft(t_steps=f * p), IN_ORDER_IMFT_D_VALUES),
+        "committed": (frozen.get("valTrajsInOrder"), IN_ORDER_D_VALUES),
+    }
+    for suite, (arr, d_values) in suites.items():
+        if arr is None:
+            continue
+        n_d, n_p = arr.shape[:2]
+        flat = jnp.asarray(arr, jnp.float32).reshape(n_d * n_p, -1, 2) / train_cfg.traj_div_factor
+        data = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
+        for tta in (False, True):
+            preds = member_preds(data["videos"], data["features"], tta)  # (M, N)
+            per_member = [
+                error_table(jnp.reshape(jnp.asarray(pm), (n_d, n_p)), d_values[:n_d])
+                for pm in preds
+            ]
+            ens = error_table(
+                jnp.reshape(jnp.asarray(preds.mean(axis=0)), (n_d, n_p)), d_values[:n_d]
+            )
+            mses = [t["mse"] for t in per_member]
+            tag = f"{suite}{'_tta' if tta else ''}"
+            report[tag] = {
+                "member_mse_mean": float(np.mean(mses)),
+                "member_mse_min": float(np.min(mses)),
+                "member_mse_max": float(np.max(mses)),
+                "ensemble_mse": float(ens["mse"]),
+                "ensemble_std": float(ens["std"]),
+                "ensemble_mae": float(ens["mae"]),
+            }
+            print(
+                f"[{tag}] single-member MSE {np.mean(mses):.4f} "
+                f"(range {np.min(mses):.4f}-{np.max(mses):.4f}) -> "
+                f"{m}-member ensemble {ens['mse']:.4f} ± {ens['std']:.4f}",
+                flush=True,
+            )
+
+    with open(os.path.join(args.out, "ensemble_report.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"report -> {args.out}/ensemble_report.json")
+    print("(published MiViT 0.570; our best single-model continuous-D 0.314 on the "
+          "committed suite, 0.458 protocol-matched-scaled on the reconciled suite)")
+
+
+if __name__ == "__main__":
+    main()

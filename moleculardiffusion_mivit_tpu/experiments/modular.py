@@ -60,11 +60,20 @@ def build(
     val_d_values=(1.0, 3.0, 5.0, 7.0),
     num_cycles: int = 10,
     with_in_order: bool = False,
+    in_order_suite: str = "imft",
 ) -> Experiment:
+    """``in_order_suite``: as in ``experiments.images_features.build`` —
+    ``"imft"`` scores on the reconciled 100-value D = 0.1..10.0 published
+    protocol (and extends the training classes with (9, 1) to cover its top,
+    matching trainModelsImagesFeatures.py:44); ``"committed"`` keeps the
+    round-3 regime (classes 1/3/5/7, the snapshot's 70-value asset)."""
+    training_ds = ((1, 1), (3, 1), (5, 1), (7, 1))
+    if in_order_suite == "imft":
+        training_ds = training_ds + ((9, 1),)
     train_cfg = TrainConfig(
         seed=seed,
         sequences_per_d=sequences_per_d,
-        training_ds=((1, 1), (3, 1), (5, 1), (7, 1)),
+        training_ds=training_ds,
         n_frames=val_length,
         num_cycles=num_cycles,
     )
@@ -139,14 +148,27 @@ def build(
             val_data[d] = vdata
 
     in_order = None
-    if with_in_order and "valTrajsInOrder" in frozen:
+    if with_in_order:
         from moleculardiffusion_mivit_tpu.evaluation import (
             IN_ORDER_D_VALUES,
+            IN_ORDER_IMFT_D_VALUES,
             build_in_order_data,
+            generate_in_order_imft,
         )
 
-        in_order = build_in_order_data(
-            frozen["valTrajsInOrder"], IN_ORDER_D_VALUES, key, train_cfg, optics, make_dataset
-        )
+        if in_order_suite == "imft":
+            arr = generate_in_order_imft(t_steps=val_length * train_cfg.n_pos_per_frame)
+            d_values = IN_ORDER_IMFT_D_VALUES
+        elif in_order_suite == "committed":
+            arr = frozen.get("valTrajsInOrder")
+            d_values = IN_ORDER_D_VALUES
+        else:
+            raise ValueError(
+                f"unknown in_order_suite {in_order_suite!r}; expected 'imft' or 'committed'"
+            )
+        if arr is not None:
+            in_order = build_in_order_data(
+                arr, d_values, key, train_cfg, optics, make_dataset
+            )
 
     return Experiment("modular", train_cfg, optics, arms, generate_fn, val_data, in_order)
