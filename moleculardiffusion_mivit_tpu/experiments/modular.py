@@ -66,9 +66,11 @@ def build(
     ``"imft"`` scores on the reconciled 100-value D = 0.1..10.0 published
     protocol (and extends the training classes with (9, 1) to cover its top,
     matching trainModelsImagesFeatures.py:44); ``"committed"`` keeps the
-    round-3 regime (classes 1/3/5/7, the snapshot's 70-value asset)."""
+    round-3 regime (classes 1/3/5/7, the snapshot's 70-value asset). The
+    suite only takes effect when ``with_in_order`` requests the sweep —
+    default builds keep the recorded results/modular_r2–r3 training regime."""
     training_ds = ((1, 1), (3, 1), (5, 1), (7, 1))
-    if in_order_suite == "imft":
+    if with_in_order and in_order_suite == "imft":
         training_ds = training_ds + ((9, 1),)
     train_cfg = TrainConfig(
         seed=seed,
