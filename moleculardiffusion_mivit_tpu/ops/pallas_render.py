@@ -48,6 +48,40 @@ TILE_B = 128  # batch elements per program — the LANE dimension (×128)
 # 63×63 wide-field would need ~100 MB and belongs on the XLA path)
 _MAX_CONST_BYTES = 8 * 2**20
 
+# Profitability regime (measured on TPU v5e, two-loop-slope clock,
+# benchmark_renderers): at S=9/u=5/P=10 the kernel is within 1.24× of XLA
+# (24.4 vs 19.7 µs per 1920-frame call); at S=13 (the Framerate
+# experiment's patch, trainSettingsFramerate.py:42) the S²-row expansion
+# matmuls lose to XLA's batched GEMM 4.4× (~66 vs ~14 µs). The dispatch in
+# ``sim.render.render_frames_core`` therefore only routes sizes ≤ this to
+# the kernel and warns once per larger size — ``set_render_backend
+# ("pallas")`` must never silently run a >1.5× regression on any reference
+# regime. Calling ``pallas_render_frames`` directly bypasses the check
+# (explicit opt-in, e.g. for re-benchmarking a new chip generation).
+PROFITABLE_MAX_OUTPUT_SIZE = 9
+
+_warned_unprofitable: set = set()
+
+
+def pallas_profitable(output_size: int) -> bool:
+    """True if the kernel measured competitive with XLA at this output size
+    (see PROFITABLE_MAX_OUTPUT_SIZE); warns ONCE per unprofitable size so
+    backend selection is never silently ignored."""
+    if output_size <= PROFITABLE_MAX_OUTPUT_SIZE:
+        return True
+    if output_size not in _warned_unprofitable:
+        _warned_unprofitable.add(output_size)
+        import warnings
+
+        warnings.warn(
+            f"render backend 'pallas': output size {output_size} is outside "
+            f"the kernel's measured-profitable regime (≤ "
+            f"{PROFITABLE_MAX_OUTPUT_SIZE}; at 13×13 it measured ~4.4× "
+            "slower than XLA's fused path) — falling back to the XLA "
+            "renderer for this size"
+        )
+    return False
+
 
 def _grid_constants(output_size: int, upsampling: int):
     grid_size = output_size * upsampling

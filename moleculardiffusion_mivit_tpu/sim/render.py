@@ -104,7 +104,11 @@ def set_render_backend(backend: str) -> None:
     hand-tuned Mosaic kernel, within ~1.25× of XLA at the flagship 9×9
     size). The pallas backend handles flat/leading-batch inputs with a
     SCALAR sigma at guard-accepted sizes and falls back to XLA otherwise
-    (e.g. the PSF-grid experiment's per-PSF sigma axis). The choice binds at
+    (e.g. the PSF-grid experiment's per-PSF sigma axis); it also falls
+    back — with a one-time warning — at sizes where the kernel measured
+    SLOWER than XLA (13×13 and up: ``ops.pallas_render.pallas_profitable``),
+    so selecting it never silently regresses a reference regime. The choice
+    binds at
     TRACE time, so switching clears the jit caches — already-traced callers
     (e.g. ``trajectories_to_video``) would otherwise silently keep the
     backend they were traced with. Intended as a once-per-process setup
@@ -146,8 +150,18 @@ def render_frames_core(
     to XLA for shapes/sizes it does not support.
     """
     if _RENDER_BACKEND == "pallas" and jnp.ndim(sigma_hr) == 0 and x_hr.ndim >= 2:
-        from moleculardiffusion_mivit_tpu.ops.pallas_render import pallas_render_frames
+        from moleculardiffusion_mivit_tpu.ops.pallas_render import (
+            pallas_profitable,
+            pallas_render_frames,
+        )
 
+        if not pallas_profitable(output_size):
+            # measured-slower regime (e.g. the Framerate experiment's 13×13
+            # patch, 4.4× vs XLA): fall back with a one-time warning instead
+            # of silently honoring the backend choice at a regression
+            return _render_frames_xla(
+                x_hr, y_hr, intensities, sigma_hr, output_size, upsampling_factor
+            )
         lead = x_hr.shape[:-1]
         p = x_hr.shape[-1]
         s = output_size

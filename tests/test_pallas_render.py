@@ -54,6 +54,40 @@ def test_render_backend_switch():
         set_render_backend("cuda")
 
 
+def test_pallas_backend_unprofitable_size_falls_back_with_warning():
+    """The 13×13 regime (the Framerate experiment's patch size) measured
+    4.4× SLOWER on the kernel than on XLA's fused path (RESULTS.md renderer
+    table), so the pallas backend must route it to XLA — with a one-time
+    warning, never silently — while 9×9 stays on the kernel."""
+    import warnings
+
+    import pytest
+
+    from moleculardiffusion_mivit_tpu.ops import pallas_render
+
+    key = jax.random.key(5)
+    B, P, u = 8, 10, 5
+    x = 4.0 * jax.random.normal(key, (B, P))
+    y = 4.0 * jax.random.normal(jax.random.fold_in(key, 1), (B, P))
+    w = 500.0 + jax.random.normal(jax.random.fold_in(key, 2), (B, P))
+    ref13 = np.asarray(render_frames_core(x, y, w, 5.96, 13, u))
+    pallas_render._warned_unprofitable.discard(13)
+    try:
+        set_render_backend("pallas")
+        with pytest.warns(UserWarning, match="measured-profitable regime"):
+            got13 = np.asarray(render_frames_core(x, y, w, 5.96, 13, u))
+        # warning is once-per-size: a second call must stay silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            np.asarray(render_frames_core(x, y, w, 5.96, 13, u))
+        got9 = np.asarray(render_frames_core(x, y, w, 5.96, 9, u))
+    finally:
+        set_render_backend("xla")
+    np.testing.assert_array_equal(got13, ref13)  # identical = same XLA path
+    ref9 = np.asarray(render_frames_core(x, y, w, 5.96, 9, u))
+    np.testing.assert_allclose(got9, ref9, rtol=1e-5, atol=1e-4)
+
+
 def test_pallas_renderer_even_grid():
     """Even output_size*upsampling grids have non-unit linspace spacing
     ((g-2)/(g-1)); the kernel's closed-form peak normalization must find
