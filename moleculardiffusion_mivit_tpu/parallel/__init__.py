@@ -1,5 +1,6 @@
 from moleculardiffusion_mivit_tpu.parallel.mesh import (  # noqa: F401
     grid_sharding,
+    initialize_distributed,
     make_mesh,
     shard_grid,
 )

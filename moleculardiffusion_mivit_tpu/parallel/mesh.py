@@ -23,6 +23,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host entry hook: call ONCE per process, before any other jax
+    use, on every host of a multi-host (DCN-connected) deployment.
+
+    Wraps ``jax.distributed.initialize``; afterwards ``jax.devices()``
+    returns the GLOBAL device list, so ``make_mesh`` (and everything built
+    on it — ``make_sharded_grid_fns``, ``Experiment.use_mesh``) transparently
+    spans hosts: pass the global ``data``/``model`` factors and lay the
+    mesh out so the 'model' axis (embarrassingly parallel grid arms, zero
+    collectives) crosses the DCN boundary while 'data' (whose gradient
+    psum is the only hot collective) stays within each host's ICI domain —
+    ``make_mesh``'s row-major device order does this when ``model`` is the
+    slower-varying factor of a host-major device list, i.e. pass
+    ``model=n_hosts`` (or a multiple). See docs/DESIGN.md §"Multi-host".
+
+    On TPU pods all three arguments are inferred from the environment; on
+    CPU/GPU (or for tests) pass them explicitly. Single-process use needs
+    no call at all — this hook is the *only* thing that changes multi-host
+    (SURVEY.md §5: "design the mesh code so a second axis can be added").
+    Idempotent: repeat calls after a successful initialize are no-ops.
+    """
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     data: int = 1,
     model: int = 1,
