@@ -156,6 +156,15 @@ class TrainConfig:
     # hundreds of sequential tiny steps. Must divide into the step count
     # cleanly for best effect; 1 = plain scan.
     scan_unroll: int = 1
+    # Training compute dtype: "float32" (default — full-precision activations
+    # and parameters in the forward/backward) or "bfloat16" (mixed precision:
+    # f32 master params + optimizer state; params and minibatch inputs are
+    # cast to bf16 inside the loss so activations/gradient intermediates run
+    # and travel HBM at half width; the loss and the gradients ACCUMULATED
+    # into the f32 master copy stay f32 via the cast transpose). Note JAX
+    # already rounds matmul operands to bf16 at default precision — this
+    # lever halves the HBM traffic of everything AROUND the MXU ops.
+    compute_dtype: str = "float32"
     seed: int = 0
 
     @property

@@ -231,7 +231,19 @@ class Experiment:
             k = jax.random.fold_in(key, 1000 + i)
             if isinstance(arm, GridArm):
                 videos, feats, _ = arm.slice_fn(example)
-                impls = make_grid_impls(arm.model, self.train_cfg, arm.with_features)
+                # under a mesh, bake the per-step minibatch sharding
+                # constraint into the impls (the fused cycle traces these
+                # same closures, so the constraint rides along there too)
+                grid_cb = None
+                if self._mesh is not None:
+                    from moleculardiffusion_mivit_tpu.parallel.steps import (
+                        grid_batch_constraint,
+                    )
+
+                    grid_cb = grid_batch_constraint(self._mesh)
+                impls = make_grid_impls(
+                    arm.model, self.train_cfg, arm.with_features, constrain_batch=grid_cb
+                )
                 init_grid, train_cycle, evaluate = (
                     impls.init_grid,
                     impls.train_cycle,
@@ -268,7 +280,16 @@ class Experiment:
             elif arm.model is not None:
                 cfg = arm.train_cfg or self.train_cfg
                 videos, feats, _ = arm.slice_fn(example)
-                impls = make_train_impls(arm.model, cfg, arm.with_features)
+                dp_cb = None
+                if self._mesh is not None:
+                    from moleculardiffusion_mivit_tpu.parallel.steps import (
+                        dp_batch_constraint,
+                    )
+
+                    dp_cb = dp_batch_constraint(self._mesh)
+                impls = make_train_impls(
+                    arm.model, cfg, arm.with_features, constrain_batch=dp_cb
+                )
                 init_state, train_cycle, evaluate = (
                     impls.init_state,
                     impls.train_cycle,
@@ -331,8 +352,15 @@ class Experiment:
                 if len(sub) < 2:
                     continue
                 sub_slopes = tuple(slopes[member_names.index(n)] for n in sub)
+                stack_cb = None
+                if self._mesh is not None:
+                    from moleculardiffusion_mivit_tpu.parallel.steps import (
+                        dp_batch_constraint,
+                    )
+
+                    stack_cb = dp_batch_constraint(self._mesh, stacked=True)
                 _, stack_cycle, _ = _make_stacked_impls(
-                    base_model, sub_slopes, self.train_cfg
+                    base_model, sub_slopes, self.train_cfg, constrain_batch=stack_cb
                 )
                 self._stack_groups.append(
                     (sub, [arm_names.index(n) for n in sub], stack_cycle)

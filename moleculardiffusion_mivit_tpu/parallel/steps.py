@@ -34,6 +34,38 @@ def _shardings(mesh: Mesh):
     return grid_s, data_s, rep_s
 
 
+def grid_batch_constraint(mesh: Mesh):
+    """``constrain_batch`` hook for grid impls: anchor each step's STACKED
+    gathered minibatch ``(M, B, ...)`` to ``P('model', 'data')``. Without
+    this the partitioner resolves the dynamic permutation gather by
+    replicating the minibatch across the 'data' axis and runs each model's
+    per-step compute redundantly on every device of its data column
+    (verified on compiled HLO) — the constraint keeps per-step compute
+    distributed over the whole mesh. See ``train.grid.make_grid_impls``."""
+    data_s = NamedSharding(mesh, P("model", "data"))
+
+    def constrain(bv, by, bf):
+        c = lambda x: None if x is None else jax.lax.with_sharding_constraint(x, data_s)
+        return c(bv), c(by), c(bf)
+
+    return constrain
+
+
+def dp_batch_constraint(mesh: Mesh, stacked: bool = False):
+    """``constrain_batch`` hook for pure-DP (single-model / stacked-pair)
+    arms: batch axis over the WHOLE mesh, everything else replicated.
+    ``stacked=True`` for activation-pair stacks whose minibatch carries a
+    leading replicated member axis ``(M, B, ...)``."""
+    spec = (None, tuple(mesh.axis_names)) if stacked else (tuple(mesh.axis_names),)
+    batch_s = NamedSharding(mesh, P(*spec))
+
+    def constrain(bv, by, bf):
+        c = lambda x: None if x is None else jax.lax.with_sharding_constraint(x, batch_s)
+        return c(bv), c(by), c(bf)
+
+    return constrain
+
+
 def make_sharded_grid_fns(
     model,
     train_cfg: TrainConfig,
@@ -52,7 +84,9 @@ def make_sharded_grid_fns(
     - ``evaluate(grid, videos, features=None)`` → rescaled predictions,
       born sharded ``P('model', 'data')``.
     """
-    impls = make_grid_impls(model, train_cfg, with_features)
+    impls = make_grid_impls(
+        model, train_cfg, with_features, constrain_batch=grid_batch_constraint(mesh)
+    )
     init_grid, cycle_impl, eval_impl = impls.init_grid, impls.train_cycle, impls.evaluate
     grid_s, data_s, rep_s = _shardings(mesh)
 
@@ -96,7 +130,9 @@ def make_sharded_cycle_program(
     Returns ``cycle(grid, key, lr, batch_size) -> (grid, losses)`` with the
     grid state sharded ``P('model')`` throughout.
     """
-    cycle_impl = make_grid_impls(model, train_cfg, with_features).train_cycle
+    cycle_impl = make_grid_impls(
+        model, train_cfg, with_features, constrain_batch=grid_batch_constraint(mesh)
+    ).train_cycle
     grid_s, data_s, rep_s = _shardings(mesh)
 
     def constrain(x):

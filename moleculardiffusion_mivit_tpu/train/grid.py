@@ -26,7 +26,13 @@ from flax import struct
 
 from moleculardiffusion_mivit_tpu.config import TrainConfig
 from moleculardiffusion_mivit_tpu.models import init_model
-from moleculardiffusion_mivit_tpu.train.loop import TrainState, _loss, _set_lr, make_optimizer
+from moleculardiffusion_mivit_tpu.train.loop import (
+    TrainState,
+    _cast_for_compute,
+    _loss,
+    _set_lr,
+    make_optimizer,
+)
 
 
 class ModelGrid(struct.PyTreeNode):
@@ -59,7 +65,12 @@ class GridImpls(NamedTuple):
     make_perms: Callable
 
 
-def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
+def make_grid_impls(
+    model,
+    train_cfg: TrainConfig,
+    with_features: bool = False,
+    constrain_batch=None,
+):
     """Build UNJITTED ``(init_grid, train_cycle, evaluate)`` for a vmapped grid.
 
     Data layout is model-major: ``videos (M, N, F, S, S)``,
@@ -72,6 +83,17 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
     (``make_grid_train_fns``) and the sharded multi-chip path
     (``parallel.steps``) jit the *same trace* — sharded-matches-unsharded
     holds by construction, modulo cross-shard reduction order.
+
+    ``constrain_batch(bv, by, bf) -> (bv, by, bf)`` (optional, mesh paths):
+    re-anchors the STACKED gathered minibatch ``(M, B, ...)`` to its mesh
+    layout before each grad step. Without it the partitioner materializes
+    each step's minibatch replicated across the 'data' axis and runs the
+    per-model compute redundantly on every data-row device (verified on
+    compiled HLO; see ``loop.make_train_impls``). When set, ``train_cycle``
+    switches from vmap-of-scan to the equivalent scan-of-vmap layout (the
+    same step order the merged-scan path uses — ``make_perms`` +
+    ``train_step`` reproduce the vmap-of-scan updates bit-for-bit) so the
+    constraint can apply to the stacked batch between gather and compute.
     """
     tx = make_optimizer(train_cfg)
 
@@ -90,6 +112,7 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
         return ModelGrid(params, bstats, opt_state)
 
     def loss_fn(params, batch_stats, bv, bf, by, dropout_key):
+        params, bv, bf = _cast_for_compute(train_cfg, params, bv, bf)
         variables = {"params": params}
         mutable = []
         if batch_stats:
@@ -101,7 +124,9 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
         )
         if by.ndim == 2 and out.ndim == 3:
             by = by[..., None]
-        return _loss(out, by, train_cfg.loss), mutated.get("batch_stats", batch_stats)
+        return _loss(out.astype(jnp.float32), by, train_cfg.loss), mutated.get(
+            "batch_stats", batch_stats
+        )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -128,6 +153,21 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
 
     def train_cycle(grid: ModelGrid, videos, labels, features, key, lr, batch_size: int):
         m = videos.shape[0]
+        if constrain_batch is not None:
+            # scan-of-vmap layout (the merged-scan step order, bit-identical
+            # to the vmap-of-scan below) so the sharding constraint can bind
+            # to the stacked (M, B, ...) minibatch each step
+            n = videos.shape[1]
+            perms, dks = make_perms(key, m, n, batch_size)
+            xs = jnp.swapaxes(perms, 0, 1)  # (steps, M, B)
+
+            def body(g, idx):
+                return train_step(g, videos, labels, features, idx, dks, lr)
+
+            grid, losses = jax.lax.scan(
+                body, grid, xs, unroll=train_cfg.scan_unroll
+            )
+            return grid, jnp.mean(losses, axis=0)
         keys = jax.random.split(key, m)
 
         def one(params, bstats, opt, vids, labs, feats, k):
@@ -160,13 +200,18 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
 
         ``idx (M, B)`` gathers each model's batch from its own data slice;
         the per-model dropout key is ``fold_in(drop_keys[m], idx[m, 0])`` —
-        identical to the scan body inside ``train_cycle``."""
+        identical to the scan body inside ``train_cycle``. The gather runs
+        OUTSIDE the per-model vmap so ``constrain_batch`` (mesh paths) can
+        bind the stacked ``(M, B, ...)`` minibatch to its sharding between
+        gather and compute."""
+        bv = jax.vmap(lambda v, ix: v[ix])(videos, idx)
+        by = jax.vmap(lambda l, ix: l[ix])(labels, idx)
+        bf = jax.vmap(lambda f, ix: f[ix])(features, idx) if with_features else None
+        if constrain_batch is not None:
+            bv, by, bf = constrain_batch(bv, by, bf)
 
-        def one(params, bstats, opt, vids, labs, feats, ix, dk):
+        def one(params, bstats, opt, bv, by, bf, ix, dk):
             st = TrainState(params, bstats, _set_lr(opt, lr))
-            bv = vids[ix]
-            by = labs[ix]
-            bf = feats[ix] if with_features else None
             dkey = jax.random.fold_in(dk, ix[0])
             (loss, new_bstats), grads = grad_fn(st.params, st.batch_stats, bv, bf, by, dkey)
             updates, new_opt = tx.update(grads, st.opt_state, st.params)
@@ -178,9 +223,9 @@ def make_grid_impls(model, train_cfg: TrainConfig, with_features: bool = False):
             grid.params,
             grid.batch_stats,
             grid.opt_state,
-            videos,
-            labels,
-            features if with_features else None,
+            bv,
+            by,
+            bf,
             idx,
             drop_keys,
         )

@@ -179,10 +179,29 @@ def _loss(pred, y, kind: str):
     return jnp.mean((pred - y) ** 2)
 
 
+def _cast_for_compute(train_cfg: TrainConfig, params, bv, bf):
+    """Mixed-precision entry (``TrainConfig.compute_dtype="bfloat16"``):
+    cast f32 params and minibatch inputs to bf16 for the forward/backward.
+    The caller's params stay the f32 master copy — gradients flow back
+    through the cast (its transpose accumulates in f32), so AdamW and its
+    state remain full precision. No-op at the default "float32"."""
+    if train_cfg.compute_dtype == "float32":
+        return params, bv, bf
+    if train_cfg.compute_dtype != "bfloat16":
+        raise ValueError(f"unknown compute_dtype {train_cfg.compute_dtype!r}")
+    cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+    return (
+        jax.tree.map(cast, params),
+        cast(bv),
+        None if bf is None else cast(bf),
+    )
+
+
 def make_train_impls(
     model,
     train_cfg: TrainConfig,
     with_features: bool = False,
+    constrain_batch=None,
 ):
     """UNJITTED ``(init_state, train_cycle, evaluate)`` closures for one model
     — jitted per-model by ``make_train_fns``, or traced into larger fused
@@ -192,6 +211,17 @@ def make_train_impls(
     runs one epoch (shuffled, scan over minibatches) and returns
     ``(state, mean_loss)``. ``evaluate(state, videos, features)`` returns
     rescaled predictions (× d_max_normalization).
+
+    ``constrain_batch(bv, by, bf) -> (bv, by, bf)`` (optional) re-anchors
+    each GATHERED minibatch to a sharding before the grad step — the mesh
+    paths pass a ``with_sharding_constraint`` to the per-step batch layout
+    here. Without it the XLA partitioner resolves the dynamic permutation
+    gather from batch-sharded data by replicating the minibatch, and then —
+    with no constraint downstream — replicates the whole forward/backward
+    on every device (verified on the compiled HLO: no gradient all-reduce
+    exists, only a minibatch-assembly all-reduce). The constraint keeps the
+    per-step compute data-parallel, and the gradient mean becomes the
+    expected single psum (pinned by tests/test_parallel.py's HLO tests).
     """
     tx = make_optimizer(train_cfg)
 
@@ -201,7 +231,8 @@ def make_train_impls(
         return TrainState(params, bstats, tx.init(params))
 
     def loss_fn(params, batch_stats, bv, bf, by, dropout_key):
-        variables = {"params": params}
+        cparams, bv, bf = _cast_for_compute(train_cfg, params, bv, bf)
+        variables = {"params": cparams}
         mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -212,7 +243,7 @@ def make_train_impls(
         )
         if by.ndim == 2 and out.ndim == 3:
             by = by[..., None]
-        loss = _loss(out, by, train_cfg.loss)
+        loss = _loss(out.astype(jnp.float32), by, train_cfg.loss)
         return loss, mutated.get("batch_stats", batch_stats)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -225,6 +256,8 @@ def make_train_impls(
         bv = videos[idx]
         by = labels[idx]
         bf = features[idx] if with_features else None
+        if constrain_batch is not None:
+            bv, by, bf = constrain_batch(bv, by, bf)
         dk = jax.random.fold_in(k_drop, idx[0])
         (loss, new_bstats), grads = grad_fn(state.params, state.batch_stats, bv, bf, by, dk)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -29,6 +29,7 @@ from moleculardiffusion_mivit_tpu.config import OpticsConfig, TrainConfig
 from moleculardiffusion_mivit_tpu.models import init_model
 from moleculardiffusion_mivit_tpu.train.loop import (
     TrainState,
+    _cast_for_compute,
     _loss,
     _set_lr,
     generate_cycle_data,
@@ -90,7 +91,7 @@ def detect_activation_stacks(models: Dict[str, Any]):
     ]
 
 
-def _make_stacked_impls(model, slopes, train_cfg: TrainConfig):
+def _make_stacked_impls(model, slopes, train_cfg: TrainConfig, constrain_batch=None):
     """Unjitted closures training a width-M stack of one GeneralTransformer
     architecture whose members differ only in FF activation slope.
 
@@ -100,6 +101,13 @@ def _make_stacked_impls(model, slopes, train_cfg: TrainConfig):
     would produce — ``stack_pairs=True`` is an execution-layout change, not a
     semantics change (modulo batched-GEMM reduction order and the
     relu-gradient-at-exact-0 note in ``models/layers.py``).
+
+    ``constrain_batch(bv, by, bf) -> (bv, by, bf)`` (optional, mesh paths):
+    binds each step's stacked gathered minibatch ``(M, B, ...)`` to its mesh
+    sharding between gather and compute (member axis replicated, batch
+    data-parallel) — see ``train.loop.make_train_impls`` for why the
+    partitioner otherwise replicates the per-step compute. When set,
+    ``stack_cycle`` switches to the equivalent scan-of-vmap layout.
     """
     tx = make_optimizer(train_cfg)
     slopes = jnp.asarray(slopes, jnp.float32)
@@ -112,6 +120,7 @@ def _make_stacked_impls(model, slopes, train_cfg: TrainConfig):
         return jax.vmap(init_one)(keys)
 
     def loss_fn(params, batch_stats, slope, bv, by, dropout_key):
+        params, bv, _ = _cast_for_compute(train_cfg, params, bv, None)
         variables = {"params": params}
         mutable = []
         if batch_stats:
@@ -127,13 +136,54 @@ def _make_stacked_impls(model, slopes, train_cfg: TrainConfig):
         )
         if by.ndim == 2 and out.ndim == 3:
             by = by[..., None]
-        return _loss(out, by, train_cfg.loss), mutated.get("batch_stats", batch_stats)
+        return _loss(out.astype(jnp.float32), by, train_cfg.loss), mutated.get(
+            "batch_stats", batch_stats
+        )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def stack_cycle(sstate, videos, labels, keys, lr, batch_size: int):
         n = videos.shape[0]
         steps = n // batch_size
+
+        if constrain_batch is not None:
+            # scan-of-vmap layout: same per-member perms/dropout/update
+            # sequence as the vmapped path below, but the stacked (M, B, ...)
+            # minibatch exists OUTSIDE the member vmap so the sharding
+            # constraint can bind it each step
+            def mk(key):
+                k_perm, k_drop = jax.random.split(key)
+                perm = jax.random.permutation(k_perm, n)[: steps * batch_size]
+                return perm.reshape(steps, batch_size), k_drop
+
+            perms, dks = jax.vmap(mk)(keys)  # (M, steps, B), (M,)
+            xs = jnp.swapaxes(perms, 0, 1)  # (steps, M, B)
+
+            def body(carry, idx):
+                bv = videos[idx]  # shared data + (M, B) indices -> (M, B, ...)
+                by = labels[idx]
+                bv, by, _ = constrain_batch(bv, by, None)
+
+                def one_step(st, slope, ix, dk, bv, by):
+                    st = st.replace(opt_state=_set_lr(st.opt_state, lr))
+                    dkey = jax.random.fold_in(dk, ix[0])
+                    (loss, new_bstats), grads = grad_fn(
+                        st.params, st.batch_stats, slope, bv, by, dkey
+                    )
+                    updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                    return (
+                        TrainState(
+                            optax.apply_updates(st.params, updates), new_bstats, new_opt
+                        ),
+                        loss,
+                    )
+
+                return jax.vmap(one_step)(carry, slopes, idx, dks, bv, by)
+
+            sstate, losses = jax.lax.scan(
+                body, sstate, xs, unroll=train_cfg.scan_unroll
+            )
+            return sstate, jnp.mean(losses, axis=0)
 
         def one(st, slope, key):
             k_perm, k_drop = jax.random.split(key)

@@ -96,6 +96,253 @@ def test_dryrun_bootstrap_subprocess():
     assert "dryrun_multichip OK" in r.stdout
 
 
+import re
+
+
+def _parse_replica_groups(line):
+    """Parse an HLO collective's replica_groups into a list of device-id
+    groups. Handles the explicit ``{{0,4},{1,5}}`` form and the iota forms
+    ``[G,S]<=[8]`` / ``[G,S]<=[2,4]T(1,0)``."""
+    m = re.search(r"replica_groups=\{\{([0-9,{} ]*)\}\}", line)
+    if m:
+        return [
+            [int(x) for x in g.split(",")]
+            for g in m.group(1).replace(" ", "").split("},{")
+        ]
+    m = re.search(
+        r"replica_groups=\[(\d+),(\d+)\]<=\[([0-9,]+)\](?:T\(([0-9,]+)\))?", line
+    )
+    assert m, f"unrecognized replica_groups in: {line[:200]}"
+    g, s = int(m.group(1)), int(m.group(2))
+    dims = [int(x) for x in m.group(3).split(",")]
+    arr = np.arange(int(np.prod(dims))).reshape(dims)
+    if m.group(4):
+        arr = arr.transpose([int(x) for x in m.group(4).split(",")])
+    return arr.reshape(g, s).tolist()
+
+
+def _collective_lines(txt):
+    return [
+        l
+        for l in txt.splitlines()
+        if re.search(
+            r" (all-reduce|all-gather|collective-permute|all-to-all|"
+            r"reduce-scatter)(-start)?\(",
+            l,
+        )
+    ]
+
+
+def _is_param_tuple_all_reduce(line):
+    """The gradient psum: an all-reduce returning a tuple of MANY f32
+    param-shaped operands (the whole grad tree reduced in one op)."""
+    if " all-reduce(" not in line and " all-reduce-start(" not in line:
+        return False
+    m = re.search(r"= \((.*?)\) all-reduce", line)
+    return bool(m) and m.group(1).count("f32[") >= 10
+
+
+def _hlo_training_programs():
+    """Compile the two sharded training programs on the virtual 2×4 mesh at
+    non-toy shapes (64 sequences × 30 frames — small enough to compile in
+    CI, large enough that the partitioner keeps shardings) and return their
+    HLO text: (grid_cycle_hlo, dp_cycle_hlo, mesh)."""
+    from moleculardiffusion_mivit_tpu.experiments.base import _data_parallel_fns
+    from moleculardiffusion_mivit_tpu.parallel.steps import dp_batch_constraint
+    from moleculardiffusion_mivit_tpu.train.loop import make_train_impls
+
+    train_cfg = TrainConfig(
+        sequences_per_d=32, training_ds=((1, 1), (5, 1)), n_frames=30, n_pos_per_frame=10
+    )
+    model = GeneralTransformer(ModelConfig(dropout=0.1), embedding="linear")
+    mesh = make_mesh(data=2, model=4)
+    videos, labels, _ = generate_cycle_data(jax.random.key(0), train_cfg, BASELINE_OPTICS)
+
+    n_models = 8
+    videos_m = jnp.broadcast_to(videos[None], (n_models,) + videos.shape)
+    labels_m = jnp.broadcast_to(labels[None], (n_models,) + labels.shape)
+    init_grid, sh_cycle, _ = make_sharded_grid_fns(model, train_cfg, mesh)
+    grid = shard_grid(init_grid(jax.random.key(1), n_models, videos[:1]), mesh)
+    data_s = NamedSharding(mesh, P("model", "data"))
+    vm, lm = jax.device_put(videos_m, data_s), jax.device_put(labels_m, data_s)
+    grid_txt = (
+        sh_cycle.lower(grid, vm, lm, None, jax.random.key(2), jnp.float32(1e-4), 8)
+        .compile()
+        .as_text()
+    )
+
+    impls = make_train_impls(
+        model, train_cfg, False, constrain_batch=dp_batch_constraint(mesh)
+    )
+    tc, _ = _data_parallel_fns(impls.train_cycle, impls.evaluate, mesh)
+    state = jax.device_put(
+        impls.init_state(jax.random.key(3), videos[:1], None), NamedSharding(mesh, P())
+    )
+    dsh = NamedSharding(mesh, P(("data", "model")))
+    vd, ld = jax.device_put(videos, dsh), jax.device_put(labels, dsh)
+    dp_txt = (
+        tc.lower(state, vd, ld, None, jax.random.key(4), jnp.float32(1e-4), 8)
+        .compile()
+        .as_text()
+    )
+    return grid_txt, dp_txt, mesh
+
+
+def test_compiled_collective_structure():
+    """Pin the collective structure of the two sharded training programs —
+    the thing that determines multi-chip efficiency before an 8-chip machine
+    exists. A future change that introduces resharding chatter (param
+    gathers, model-axis traffic, per-step dataset broadcasts) fails here.
+
+    Expected structure (verified on the compiled virtual-mesh HLO):
+
+    - GRID cycle (params P('model'), data P('model','data')): every
+      collective rides the DATA axis only — device groups never mix model
+      columns, so the model-grid axis is embarrassingly parallel end to end.
+      Exactly ONE gradient all-reduce (the whole grad tree as one tuple op,
+      scan body counted once) plus the per-step minibatch assembly reduce
+      and small s32 index plumbing; params are never gathered.
+    - DP cycle (params replicated, batch over the whole mesh): exactly ONE
+      gradient all-reduce over ALL mesh devices (the psum the sharding
+      annotations promise) + the minibatch assembly reduce; params are
+      never gathered (they're already replicated).
+
+    Without the per-step minibatch constraint (train.loop/grid
+    ``constrain_batch``) the partitioner instead replicated the per-step
+    compute on every device and NO gradient all-reduce existed — silently
+    forfeiting data parallelism. This test pins the fix.
+    """
+    grid_txt, dp_txt, mesh = _hlo_training_programs()
+    n_model = mesh.shape["model"]
+
+    # -- grid program: nothing may cross model columns -------------------
+    grid_lines = _collective_lines(grid_txt)
+    assert grid_lines, "sharded grid cycle compiled to zero collectives?"
+    assert len(grid_lines) <= 10, (
+        "collective chatter crept into the grid cycle:\n"
+        + "\n".join(l[:160] for l in grid_lines)
+    )
+    for l in grid_lines:
+        for group in _parse_replica_groups(l):
+            cols = {d % n_model for d in group}
+            assert len(cols) == 1, f"collective crosses the model axis: {l[:200]}"
+    grad_ars = [l for l in grid_lines if _is_param_tuple_all_reduce(l)]
+    assert len(grad_ars) == 1, (
+        f"expected exactly one gradient all-reduce, got {len(grad_ars)}"
+    )
+    # params are never all-gathered (no parameter-sized gather traffic)
+    for l in grid_lines:
+        if " all-gather(" in l and " f32[" in l.split(" all-gather(")[0]:
+            raise AssertionError(f"f32 all-gather in grid cycle: {l[:200]}")
+
+    # -- DP program: one full-mesh gradient psum, no param gathers -------
+    dp_lines = _collective_lines(dp_txt)
+    assert len(dp_lines) <= 10
+    grad_ars = [l for l in dp_lines if _is_param_tuple_all_reduce(l)]
+    assert len(grad_ars) == 1, (
+        "the DP gradient psum is missing or duplicated:\n"
+        + "\n".join(l[:160] for l in dp_lines)
+    )
+    groups = _parse_replica_groups(grad_ars[0])
+    assert sorted(groups[0]) == list(range(mesh.size)), groups
+    for l in dp_lines:
+        if " all-gather(" in l and " f32[" in l.split(" all-gather(")[0]:
+            raise AssertionError(f"f32 all-gather in DP cycle: {l[:200]}")
+
+
+_TWO_PROCESS_WORKER = """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+pid, port = int(sys.argv[1]), sys.argv[2]
+from moleculardiffusion_mivit_tpu.parallel import (
+    initialize_distributed, make_mesh, make_sharded_cycle_program, shard_grid,
+)
+initialize_distributed(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+initialize_distributed()  # idempotent second call must be a no-op
+assert len(jax.devices()) == 8, jax.devices()
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
+from moleculardiffusion_mivit_tpu.models import GeneralTransformer
+from moleculardiffusion_mivit_tpu.train import make_grid_train_fns
+from moleculardiffusion_mivit_tpu.train.loop import generate_cycle_data
+
+train_cfg = TrainConfig(
+    sequences_per_d=4, training_ds=((1, 1), (5, 1)), n_frames=6, n_pos_per_frame=5
+)
+model = GeneralTransformer(
+    ModelConfig(embed_dim=32, num_heads=4, hidden_dim=64, num_layers=2),
+    embedding="linear",
+)
+mesh = make_mesh(data=2, model=4)  # spans BOTH processes
+n_models = 4
+
+def data_fn(key):
+    keys = jax.random.split(key, n_models)
+    return jax.vmap(lambda k: generate_cycle_data(k, train_cfg, BASELINE_OPTICS))(keys)
+
+videos, _, _ = generate_cycle_data(jax.random.key(0), train_cfg, BASELINE_OPTICS)
+init_grid, _, _ = make_grid_train_fns(model, train_cfg)
+grid0 = shard_grid(init_grid(jax.random.key(1), n_models, videos[:1]), mesh)
+cycle = make_sharded_cycle_program(model, train_cfg, mesh, data_fn)
+grid1, losses = cycle(grid0, jax.random.key(9), jnp.float32(1e-4), 4)
+losses = np.asarray(
+    jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(losses)
+)
+assert losses.shape == (n_models,) and np.isfinite(losses).all(), losses
+print(f"proc {pid} OK losses={losses.round(4).tolist()}")
+"""
+
+
+def test_initialize_distributed_two_process_cpu():
+    """The multi-host hook, end to end on one machine: two coordinated CPU
+    processes (4 virtual devices each) initialize via
+    ``parallel.initialize_distributed``, build ONE global 2×4 mesh spanning
+    both, and run the fused sharded grid-cycle program across it — the
+    gradient collectives cross the process boundary (gloo stands in for
+    DCN). Both processes must agree on the losses. docs/DESIGN.md
+    §"Multi-host" documents the deployment recipe this pins."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = os.environ.copy()
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TWO_PROCESS_WORKER, str(pid), str(port)],
+            cwd=REPO_ROOT,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
+        outs.append(out)
+    line0 = [l for l in outs[0].splitlines() if "OK losses=" in l][0]
+    line1 = [l for l in outs[1].splitlines() if "OK losses=" in l][0]
+    assert line0.split("losses=")[1] == line1.split("losses=")[1]
+
+
 def _unsharded_reference_cycle(model, train_cfg, grid0, videos_m, labels_m, feats_m, key, bs):
     init_grid, train_cycle, evaluate = make_grid_train_fns(
         model, train_cfg, with_features=feats_m is not None

@@ -155,10 +155,17 @@ def test_multi_cycle_merged_scan_matches_per_model():
         assert np.isfinite(float(losses[name]))
 
 
-def test_scanned_multi_cycle_matches_sequential_dispatches():
+import pytest
+
+
+@pytest.mark.parametrize("stack_pairs", [False, True])
+def test_scanned_multi_cycle_matches_sequential_dispatches(stack_pairs):
     """K cycles fused into one dispatch (make_scanned_multi_cycle: lax.scan
     over per-cycle key/LR) must reproduce K sequential fused-cycle dispatches
-    exactly — same states, same per-cycle losses and val MSEs."""
+    exactly — same states, same per-cycle losses and val MSEs. The
+    stack_pairs=True case pins the bench.py configuration (bench drives the
+    scanned builder with pair-stacking on): the relu/leaky pair trains as one
+    vmapped stack inside both programs."""
     from moleculardiffusion_mivit_tpu.train.multi import (
         make_multi_cycle,
         make_scanned_multi_cycle,
@@ -168,6 +175,11 @@ def test_scanned_multi_cycle_matches_sequential_dispatches():
         "tr": GeneralTransformer(SMALL_MODEL.replace(dropout=0.1), embedding="linear"),
         "res": MultiImageResNet(),
     }
+    if stack_pairs:
+        models["tr_leaky"] = GeneralTransformer(
+            SMALL_MODEL.replace(dropout=0.1, activation="leaky_relu"),
+            embedding="linear",
+        )
     key = jax.random.key(11)
     videos, _, _ = generate_cycle_data(key, SMALL_TRAIN, BASELINE_OPTICS)
     val_videos = videos[:6]
@@ -176,7 +188,9 @@ def test_scanned_multi_cycle_matches_sequential_dispatches():
     k_cycles = [jax.random.fold_in(key, 100 + c) for c in range(3)]
     lrs = [1e-4, 9e-5, 8e-5]
 
-    init_states, cycle = make_multi_cycle(models, SMALL_TRAIN, BASELINE_OPTICS)
+    init_states, cycle = make_multi_cycle(
+        models, SMALL_TRAIN, BASELINE_OPTICS, stack_pairs=stack_pairs
+    )
     ref_states = init_states(jax.random.key(1), videos[:1])
     ref_losses, ref_val = [], []
     for k, lr in zip(k_cycles, lrs):
@@ -186,7 +200,9 @@ def test_scanned_multi_cycle_matches_sequential_dispatches():
         ref_losses.append(losses)
         ref_val.append(val_mse)
 
-    init_states2, scanned = make_scanned_multi_cycle(models, SMALL_TRAIN, BASELINE_OPTICS)
+    init_states2, scanned = make_scanned_multi_cycle(
+        models, SMALL_TRAIN, BASELINE_OPTICS, stack_pairs=stack_pairs
+    )
     states = init_states2(jax.random.key(1), videos[:1])
     states, losses, val_mse = scanned(
         states,
@@ -197,12 +213,16 @@ def test_scanned_multi_cycle_matches_sequential_dispatches():
         val_targets,
     )
 
-    for name in models:
+    # states are keyed by arm name, or "stack:<a>+<b>" for stacked groups —
+    # compare whatever layout the builder produced (identical on both sides)
+    assert set(states) == set(ref_states)
+    for skey in ref_states:
         for a, b in zip(
-            jax.tree.leaves(ref_states[name].params),
-            jax.tree.leaves(states[name].params),
+            jax.tree.leaves(ref_states[skey].params),
+            jax.tree.leaves(states[skey].params),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+    for name in models:
         got_losses = np.asarray(losses[name])
         got_val = np.asarray(val_mse[name])
         assert got_losses.shape == (3,) and got_val.shape == (3,)
@@ -403,3 +423,39 @@ def test_multi_cycle_stack_pairs_matches_unstacked():
     for j, name in enumerate(["lin", "lin_leaky"]):
         for a, b in zip(jax.tree.leaves(stacked), jax.tree.leaves(s0[name].params)):
             np.testing.assert_allclose(np.asarray(a[j]), np.asarray(b), atol=20 * 1e-4)
+
+
+def test_bfloat16_compute_dtype_trains_and_keeps_f32_master():
+    """Mixed precision (TrainConfig.compute_dtype='bfloat16'): the forward/
+    backward runs with bf16 params/activations but the master params and
+    optimizer state stay f32, training stays finite across model families
+    (incl. the BatchNorm resnet, whose running stats must not drift to
+    bf16), and one epoch moves the loss in the same direction as f32."""
+    from moleculardiffusion_mivit_tpu.train.loop import make_train_fns
+
+    videos, labels, _ = generate_cycle_data(jax.random.key(0), SMALL_TRAIN, BASELINE_OPTICS)
+    for model in (
+        GeneralTransformer(SMALL_MODEL.replace(dropout=0.1), embedding="linear"),
+        MultiImageResNet(),
+    ):
+        losses = {}
+        for dtype in ("float32", "bfloat16"):
+            cfg = SMALL_TRAIN.replace(compute_dtype=dtype)
+            init_state, cycle, evaluate = make_train_fns(model, cfg)
+            st = init_state(jax.random.key(1), videos[:1])
+            for c in range(3):
+                st, loss = cycle(
+                    st, videos, labels, None,
+                    jax.random.fold_in(jax.random.key(2), c),
+                    jnp.float32(1e-3), 8,
+                )
+            losses[dtype] = float(loss)
+            for leaf in jax.tree.leaves(st.params) + jax.tree.leaves(st.batch_stats):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+            preds = evaluate(st, videos)
+            assert np.isfinite(np.asarray(preds)).all()
+        # same training signal: bf16 loss lands in the same ballpark as f32
+        assert np.isfinite(losses["bfloat16"])
+        assert abs(losses["bfloat16"] - losses["float32"]) < max(
+            0.5, 0.5 * losses["float32"]
+        ), losses
