@@ -56,6 +56,22 @@ def main():
         "suite's D = 0.1..10.0 sweep (the reference's own high classes go to "
         "10.2, trainModelsFramerate.py:45)",
     )
+    ap.add_argument(
+        "--curriculum",
+        choices=("continuous", "discrete"),
+        default="continuous",
+        help="per-member per-cycle data distribution: 'continuous' draws "
+        "D ~ U(d-low, d-high) per sequence; 'discrete' mirrors the "
+        "ImagesFeatures experiment's class curriculum (--classes, "
+        "truncated-normal D per class, trainModelsImagesFeatures.py:44) — "
+        "the distribution behind the repo's single-model imft record (0.458)",
+    )
+    ap.add_argument(
+        "--classes",
+        default="1,3,5,7,9",
+        help="discrete-curriculum class means (std 1 each, like the "
+        "reference's (D, 1) classes); --n must divide evenly by their count",
+    )
     ap.add_argument("--eval-chunk", type=int, default=100, help="sequences per eval call")
     ap.add_argument("--out", default="results/ensemble")
     args = ap.parse_args()
@@ -66,14 +82,44 @@ def main():
     p, f = train_cfg.n_pos_per_frame, train_cfg.n_frames
     m = args.members
 
-    def generate_one(key):
-        """One member's fresh cycle dataset: continuous D ~ U(low, high)."""
-        kd, kt, kdata = jax.random.split(key, 3)
-        d = jax.random.uniform(kd, (args.n,), minval=args.d_low, maxval=args.d_high)
-        trajs = brownian_motion(kt, args.n, f, p, d, float(p)) / train_cfg.traj_div_factor
-        data = make_dataset(kdata, trajs, train_cfg, optics)
-        labels = (d / train_cfg.d_max_normalization)[:, None]
-        return data["videos"], data["features"], labels
+    if args.curriculum == "discrete":
+        from moleculardiffusion_mivit_tpu.sim import single_state
+
+        classes = tuple(float(c) for c in args.classes.split(","))
+        if args.n % len(classes):
+            raise SystemExit(f"--n {args.n} must divide by {len(classes)} classes")
+        n_per_class = args.n // len(classes)
+
+        def generate_one(key):
+            """One member's fresh cycle dataset: the ImagesFeatures class
+            curriculum (truncated-normal D per class, per-class labels from
+            the simulator) — per-member keys make this bagging over the same
+            distribution the single-model imft record trained on."""
+            videos, feats, labels = [], [], []
+            for i, c in enumerate(classes):
+                k_sim, k_data = jax.random.split(jax.random.fold_in(key, i))
+                trajs, labs = single_state(k_sim, n_per_class, f * p, Ds=(c, 1.0))
+                trajs = trajs / train_cfg.traj_div_factor
+                data = make_dataset(k_data, trajs, train_cfg, optics)
+                videos.append(data["videos"])
+                feats.append(data["features"])
+                labels.append(labs[:, :1, 1] / train_cfg.d_max_normalization)
+            return (
+                jnp.concatenate(videos),
+                jnp.concatenate(feats),
+                jnp.concatenate(labels),
+            )
+
+    else:
+
+        def generate_one(key):
+            """One member's fresh cycle dataset: continuous D ~ U(low, high)."""
+            kd, kt, kdata = jax.random.split(key, 3)
+            d = jax.random.uniform(kd, (args.n,), minval=args.d_low, maxval=args.d_high)
+            trajs = brownian_motion(kt, args.n, f, p, d, float(p)) / train_cfg.traj_div_factor
+            data = make_dataset(kdata, trajs, train_cfg, optics)
+            labels = (d / train_cfg.d_max_normalization)[:, None]
+            return data["videos"], data["features"], labels
 
     model = GeneralTransformer(
         model_cfg,
@@ -140,6 +186,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     report = {"members": m, "cycles": args.cycles, "n_per_member": args.n,
+              "curriculum": args.curriculum,
+              "classes": args.classes if args.curriculum == "discrete" else None,
               "d_range": [args.d_low, args.d_high], "train_seconds": round(train_s, 1)}
 
     frozen = load_validation_trajectories(length=f)
@@ -152,7 +200,9 @@ def main():
             continue
         n_d, n_p = arr.shape[:2]
         flat = jnp.asarray(arr, jnp.float32).reshape(n_d * n_p, -1, 2) / train_cfg.traj_div_factor
-        data = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
+        # disjoint key namespace: training cycles use fold_in(key, 10 + c), so
+        # a plain small constant would collide with cycle c = const - 10
+        data = make_dataset(jax.random.fold_in(key, 1_000_000), flat, train_cfg, optics)
         for tta in (False, True):
             preds = member_preds(data["videos"], data["features"], tta)  # (M, N)
             per_member = [
@@ -164,6 +214,11 @@ def main():
             )
             mses = [t["mse"] for t in per_member]
             tag = f"{suite}{'_tta' if tta else ''}"
+            # per-D error profile of the ensemble mean — the raw material
+            # for curriculum comparisons (where does continuous vs discrete
+            # training win/lose across the D sweep?)
+            ens_grid = np.asarray(preds.mean(axis=0)).reshape(n_d, n_p)
+            per_d_mse = ((ens_grid - np.asarray(d_values[:n_d])[:, None]) ** 2).mean(axis=1)
             report[tag] = {
                 "member_mse_mean": float(np.mean(mses)),
                 "member_mse_min": float(np.min(mses)),
@@ -171,6 +226,8 @@ def main():
                 "ensemble_mse": float(ens["mse"]),
                 "ensemble_std": float(ens["std"]),
                 "ensemble_mae": float(ens["mae"]),
+                "per_d_mse": [round(float(x), 5) for x in per_d_mse],
+                "d_values": [float(d) for d in d_values[:n_d]],
             }
             print(
                 f"[{tag}] single-member MSE {np.mean(mses):.4f} "
