@@ -43,14 +43,29 @@ from moleculardiffusion_mivit_tpu.sim.trajectory import average_trajectories_fra
 
 
 def make_dataset(key, trajs, train_cfg, optics):
-    """Videos + per-frame feature tokens for one batch of trajectories."""
+    """Videos + per-frame feature tokens for one batch of trajectories,
+    plus the 25-dim global features and the PACKED hybrid tensor
+    (``(B, F·n_pf + 25)`` — per-frame flattened, global appended) that
+    ``models.HybridFusionTransformer`` unpacks."""
+    from moleculardiffusion_mivit_tpu.features import (
+        compute_features_for_multiple_trajectories,
+    )
+
     p = train_cfg.n_pos_per_frame
     bg_mean, bg_sigma = optics.background_intensity
     part_mean = optics.particle_intensity[0]
     videos = trajectories_to_video(key, trajs, p, train_cfg.center, optics)
     videos, _ = normalize_images(videos, bg_mean, bg_sigma, part_mean + bg_mean)
-    pf = compute_per_frame_features(average_trajectories_frames(trajs, p))
-    return {"videos": videos, "pf_features": pf}
+    avg = average_trajectories_frames(trajs, p)
+    pf = compute_per_frame_features(avg)
+    gf = compute_features_for_multiple_trajectories(avg, dt=1.0)
+    packed = jnp.concatenate([pf.reshape(pf.shape[0], -1), gf], axis=-1)
+    return {
+        "videos": videos,
+        "pf_features": pf,
+        "g_features": gf,
+        "hybrid_features": packed,
+    }
 
 
 def build(
@@ -61,6 +76,7 @@ def build(
     num_cycles: int = 10,
     with_in_order: bool = False,
     in_order_suite: str = "imft",
+    with_hybrid: bool = False,
 ) -> Experiment:
     """``in_order_suite``: as in ``experiments.images_features.build`` —
     ``"imft"`` scores on the reconciled 100-value D = 0.1..10.0 published
@@ -120,6 +136,48 @@ def build(
             with_features=True,
         ),
     }
+
+    if with_hybrid:
+        # the round-4 composition study: both fusion pathways in one model
+        # (per-frame tokens + global reg-token early fusion,
+        # models.HybridFusionTransformer) vs the two parents trained on the
+        # SAME generated data — glob_early_tr is the GeneralTransformer
+        # early-fusion parent, mod_both_concat above is the per-frame parent
+        from moleculardiffusion_mivit_tpu.features import N_FEATURES
+        from moleculardiffusion_mivit_tpu.models import (
+            GeneralTransformer,
+            HybridFusionTransformer,
+        )
+
+        def g_slice(data):
+            return data["videos"], data["g_features"], data["labels"]
+
+        def hybrid_slice(data):
+            return data["videos"], data["hybrid_features"], data["labels"]
+
+        arms["glob_early_tr"] = ModelEntry(
+            model=GeneralTransformer(
+                model_cfg,
+                embedding="deep_resnet",
+                use_global_features=True,
+                fusion_type="early",
+                global_feature_dim=N_FEATURES,
+            ),
+            slice_fn=g_slice,
+            with_features=True,
+        )
+        for fusion in ("concat_proj", "add"):
+            arms[f"hybrid_{fusion.split('_')[0]}"] = ModelEntry(
+                model=HybridFusionTransformer(
+                    model_cfg,
+                    image_embedding="deep_resnet",
+                    per_frame_dim=N_PER_FRAME_FEATURES,
+                    global_dim=N_FEATURES,
+                    fusion_method=fusion,
+                ),
+                slice_fn=hybrid_slice,
+                with_features=True,
+            )
 
     p = train_cfg.n_pos_per_frame
     t = train_cfg.n_frames * p

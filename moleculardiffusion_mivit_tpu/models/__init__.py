@@ -24,6 +24,7 @@ from moleculardiffusion_mivit_tpu.models.embeddings import (  # noqa: F401
 from moleculardiffusion_mivit_tpu.models.vit import (  # noqa: F401
     FeatureProjector,
     GeneralTransformer,
+    HybridFusionTransformer,
     ModularTransformer,
 )
 from moleculardiffusion_mivit_tpu.models.resnet import (  # noqa: F401

@@ -96,6 +96,101 @@ class GeneralTransformer(nn.Module):
         return head(out, deterministic=not train)
 
 
+class HybridFusionTransformer(nn.Module):
+    """Both fusion pathways in ONE model — the composition neither the
+    reference nor rounds 1-3 ever tried (reference built the halves:
+    GeneralTransformer's global-feature regression-token early fusion,
+    models.py:278-361, and ModularTransformer's per-frame feature tokens,
+    models.py:366-593).
+
+    Motivation (RESULTS.md, round-3 modular study): per-frame feature
+    tokens win at low-to-mid D (0.339 vs 0.373 on the committed D ≤ 7
+    suite) while global early fusion wins the full published sweep (0.486
+    vs 0.529 on D = 0.1..10.0) — the pathways fail in different regimes,
+    so combining them may dominate both parents.
+
+    Flow::
+
+        frame tokens = image_embedding(images) ⊕ per-frame feature tokens
+                       (fusion_method: add | concat_proj, the modular arms)
+        reg token    = learned token + FeatureProjector(global features)
+                       (the GeneralTransformer early-fusion mechanism)
+        post-norm Transformer → token 0 → MLPHead
+
+    The training harness passes ONE features tensor per arm, so the two
+    feature kinds arrive PACKED: ``features (B, F·per_frame_dim +
+    global_dim)`` — per-frame features flattened first, global features
+    appended (see ``experiments.modular.make_dataset`` hybrid packing).
+    ``F`` is recovered from the image tensor's frame axis (static under
+    jit).
+    """
+
+    config: ModelConfig
+    image_embedding: str = "deep_resnet"
+    per_frame_dim: int = 6
+    global_dim: int = 25
+    fusion_method: str = "concat_proj"  # add | concat_proj
+    head_hidden_dim: int = 128
+
+    def _pf_embed(self, f):
+        cfg = self.config
+        y = nn.Dense(cfg.embed_dim * 2, name="pf_fc1")(f)
+        y = nn.LayerNorm(epsilon=LN_EPS, name="pf_ln")(y)
+        y = nn.gelu(y)
+        return nn.Dense(cfg.embed_dim, name="pf_fc2")(y)
+
+    @nn.compact
+    def __call__(self, images, features=None, train: bool = False):
+        cfg = self.config
+        if features is None:
+            raise ValueError("HybridFusionTransformer requires packed features")
+        b, f = images.shape[0], images.shape[1]
+        n_pf = f * self.per_frame_dim
+        if features.shape[-1] != n_pf + self.global_dim:
+            raise ValueError(
+                f"packed features must be (B, {n_pf} + {self.global_dim}); "
+                f"got {features.shape}"
+            )
+        pf = jnp.nan_to_num(
+            features[:, :n_pf].reshape(b, f, self.per_frame_dim), nan=0.0
+        )
+        gf = jnp.nan_to_num(features[:, n_pf:], nan=0.0)
+
+        img = EMBEDDING_REGISTRY[self.image_embedding](
+            cfg.patch_size, cfg.embed_dim, name="image_embedding"
+        )(images, train)
+        if self.fusion_method == "add":
+            x = img + self._pf_embed(pf)
+        elif self.fusion_method == "concat_proj":
+            cat = jnp.concatenate([img, self._pf_embed(pf)], axis=-1)
+            x = nn.Dense(cfg.embed_dim, name="fusion_layer")(cat)
+        else:
+            raise ValueError(f"unknown fusion_method {self.fusion_method!r}")
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
+
+        reg_token = self.param(
+            "reg_token", nn.initializers.normal(stddev=1.0), (1, 1, cfg.embed_dim)
+        )
+        reg = jnp.broadcast_to(reg_token, (b, 1, cfg.embed_dim))
+        reg = reg + FeatureProjector(cfg.embed_dim, name="feature_projector")(gf)[:, None, :]
+        x = jnp.concatenate([reg, x], axis=1)
+
+        x = Transformer(
+            cfg.embed_dim,
+            cfg.num_heads,
+            cfg.hidden_dim,
+            cfg.num_layers,
+            cfg.dropout,
+            cfg.use_pos_encoding,
+            cfg.activation,
+            cfg.max_tokens,
+            name="transformer",
+        )(x, deterministic=not train)
+
+        out = x[:, 0, :]
+        return MLPHead(self.head_hidden_dim, name="mlp_head")(out, deterministic=not train)
+
+
 class ModularTransformer(nn.Module):
     """Generalized variant: images / per-frame features / both, with
     configurable feature embedding and fusion (models.py:366-593)."""

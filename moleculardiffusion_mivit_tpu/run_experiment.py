@@ -76,6 +76,15 @@ def main(argv=None):
         "per-arm so checkpoints/eval are unaffected)",
     )
     ap.add_argument(
+        "--with-hybrid",
+        action="store_true",
+        help="(modular) add the round-4 composition arms: "
+        "HybridFusionTransformer (per-frame feature tokens + global "
+        "reg-token early fusion in ONE model) plus its GeneralTransformer "
+        "early-fusion parent, trained on the same generated data as the "
+        "five modular arms",
+    )
+    ap.add_argument(
         "--mesh",
         type=str,
         default=None,
@@ -112,6 +121,10 @@ def main(argv=None):
                 f"experiment {args.experiment!r} does not support --in-order-suite"
             )
         kwargs["in_order_suite"] = args.in_order_suite
+    if args.with_hybrid:
+        if "with_hybrid" not in builder_params:
+            ap.error(f"experiment {args.experiment!r} does not support --with-hybrid")
+        kwargs["with_hybrid"] = True
     exp = get_experiment(args.experiment, **kwargs)
     if args.unroll:
         exp.train_cfg = exp.train_cfg.replace(scan_unroll=args.unroll)

@@ -199,3 +199,24 @@ def test_single_batch_overfit():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.05, (losses[0], losses[-1])
+
+
+def test_hybrid_fusion_transformer(videos):
+    """Both fusion pathways in one model: packed (B, T*n_pf + 25) features
+    unpack into per-frame tokens + a global reg-token injection; output is
+    a single prediction per sequence; bad packing raises."""
+    from moleculardiffusion_mivit_tpu.models import HybridFusionTransformer
+
+    n_pf, n_g = 6, 25
+    packed = jax.random.normal(jax.random.key(2), (B, T * n_pf + n_g))
+    for fusion in ("concat_proj", "add"):
+        model = HybridFusionTransformer(
+            CFG, per_frame_dim=n_pf, global_dim=n_g, fusion_method=fusion
+        )
+        params, bstats = init_model(model, jax.random.key(3), videos, packed)
+        out, _ = apply_model(model, params, bstats, videos, packed)
+        assert out.shape == (B, 1)
+        assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="packed features"):
+        model = HybridFusionTransformer(CFG, per_frame_dim=n_pf, global_dim=n_g)
+        init_model(model, jax.random.key(3), videos, packed[:, :-1])
