@@ -46,6 +46,19 @@ def main():
         "separate constant-D calibration split (5%% false-positive "
         "calibration, independent of the reported FP controls)",
     )
+    ap.add_argument(
+        "--continuous",
+        type=str,
+        default=None,
+        metavar="LO,HI",
+        help="train with the continuous-D curriculum (per-sequence D ~ "
+        "Uniform(LO, HI), continuous tail-swap mixing) instead of the 4 "
+        "discrete classes — the round-3 accuracy lever, applied here to ask "
+        "whether it moves low-contrast (ΔD=1) detection. The planted-"
+        "transition EVALUATION set is unchanged (built from the discrete "
+        "class protocol either way), so numbers are comparable to the "
+        "discrete run.",
+    )
     ap.add_argument("--out", type=str, default="results/changepoint_demo")
     args = ap.parse_args()
 
@@ -56,7 +69,11 @@ def main():
         mix_trajectory_tails,
     )
 
-    exp = get_experiment("baseline", sequences=True)
+    continuous = None
+    if args.continuous:
+        lo, hi = (float(x) for x in args.continuous.split(","))
+        continuous = (lo, hi)
+    exp = get_experiment("baseline", sequences=True, continuous_d=continuous)
     exp.build(jax.random.key(0))
     print(f"training {len(exp.model_names)} sequence-mode models, "
           f"{args.cycles} cycles", flush=True)
@@ -117,6 +134,7 @@ def main():
     loc_err = np.abs(split_m[hit] - true_split[hit])
     result = {
         "model": args.model,
+        "curriculum": f"continuous U({continuous[0]}, {continuous[1]})" if continuous else "discrete 4-class",
         "cycles": args.cycles,
         "n_mixed": int(has_transition.sum()),
         "n_controls": int(len(score_c)),

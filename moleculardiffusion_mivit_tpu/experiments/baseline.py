@@ -11,6 +11,7 @@ mixing (trainModels.py:157-194).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
 from moleculardiffusion_mivit_tpu.evaluation import (
@@ -30,7 +31,16 @@ def build(
     val_length: int = 30,
     val_d_values=(1.0, 3.0, 5.0, 7.0),
     sequences_per_d: int = 64,
+    continuous_d=None,
 ) -> Experiment:
+    """``continuous_d=(lo, hi)`` swaps the 4-class curriculum for per-sequence
+    D ~ Uniform(lo, hi) at the same per-cycle budget (4 × sequences_per_d) —
+    the densification that improved every regression regime (RESULTS.md). In
+    sequence mode the per-frame labels carry the drawn D and the tail-swap
+    augmentation becomes ``train.loop.mix_tails_uniform`` (random-partner
+    pairing — there are no classes to pair across). ``training_ds`` is
+    unchanged, so validation/eval sets built from ``train_cfg`` stay the
+    discrete-protocol assets (comparable across curricula)."""
     train_cfg = TrainConfig(
         seed=seed,
         sequences_per_d=sequences_per_d,
@@ -64,14 +74,49 @@ def build(
         model=MultiImageResNet(single_prediction=not sequences), slice_fn=identity_slice
     )
 
-    def generate_fn(key):
-        k_gen, k_mix = jax.random.split(key)
-        videos, labels, _ = generate_cycle_data(k_gen, train_cfg, optics)
-        if train_cfg.mix_trajectories:
-            videos, labels = mix_trajectory_tails(
-                k_mix, videos, labels, len(train_cfg.training_ds), train_cfg.n_frames
+    if continuous_d is not None:
+        from moleculardiffusion_mivit_tpu.sim import normalize_images, trajectories_to_video
+        from moleculardiffusion_mivit_tpu.sim.trajectory import brownian_motion
+        from moleculardiffusion_mivit_tpu.train.loop import mix_tails_uniform
+
+        d_lo, d_hi = continuous_d
+        n_total = sequences_per_d * len(train_cfg.training_ds)
+        p = train_cfg.n_pos_per_frame
+        bg_mean, bg_sigma = optics.background_intensity
+        part_mean = optics.particle_intensity[0]
+
+        def generate_fn(key):
+            kd, kt, kr, k_mix = jax.random.split(key, 4)
+            d = jax.random.uniform(kd, (n_total,), minval=d_lo, maxval=d_hi)
+            trajs = (
+                brownian_motion(kt, n_total, train_cfg.n_frames, p, d, float(p))
+                / train_cfg.traj_div_factor
             )
-        return {"videos": videos, "labels": labels}
+            videos = trajectories_to_video(kr, trajs, p, train_cfg.center, optics)
+            videos, _ = normalize_images(videos, bg_mean, bg_sigma, part_mean + bg_mean)
+            dn = d / train_cfg.d_max_normalization
+            if train_cfg.sequence_mode:
+                labels = jnp.broadcast_to(
+                    dn[:, None], (n_total, train_cfg.n_frames)
+                ).astype(jnp.float32)
+            else:
+                labels = dn[:, None]
+            if train_cfg.mix_trajectories:
+                videos, labels = mix_tails_uniform(
+                    k_mix, videos, labels, train_cfg.n_frames
+                )
+            return {"videos": videos, "labels": labels}
+
+    else:
+
+        def generate_fn(key):
+            k_gen, k_mix = jax.random.split(key)
+            videos, labels, _ = generate_cycle_data(k_gen, train_cfg, optics)
+            if train_cfg.mix_trajectories:
+                videos, labels = mix_trajectory_tails(
+                    k_mix, videos, labels, len(train_cfg.training_ds), train_cfg.n_frames
+                )
+            return {"videos": videos, "labels": labels}
 
     trajs = load_validation_trajectories(length=val_length)
     rendered = render_validation_videos(trajs, train_cfg, optics)

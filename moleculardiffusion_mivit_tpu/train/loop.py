@@ -173,6 +173,42 @@ def mix_trajectory_tails(
     return videos, labels
 
 
+def mix_tails_uniform(
+    key: jax.Array,
+    videos: jax.Array,
+    labels: jax.Array,
+    n_frames: int,
+    fraction: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Continuous-curriculum analog of ``mix_trajectory_tails``.
+
+    The reference's tail-swap augmentation pairs sequences ACROSS D classes
+    (trainModels.py:157-194); a continuous curriculum has no classes, so this
+    pairs sequence ``i`` with sequence ``n-1-i`` (both drawn i.i.d. from the
+    same D distribution, so the pairing is random in D) and swaps their
+    video/label tails at a random split in ``[n_frames/2 - 5, n_frames/2 + 5)``
+    — the same split window. ``fraction`` controls how many sequences end up
+    carrying a transition (default 0.5, matching the discrete scheme where
+    the 4 quarter-block pairs touch half of all sequences)."""
+    n = videos.shape[0]
+    half = int(n * fraction) // 2
+    if half == 0:
+        return videos, labels
+    ia = jnp.arange(half)
+    ib = (n - 1) - ia
+    splits = jax.random.randint(key, (half,), n_frames // 2 - 5, n_frames // 2 + 5)
+    frame_idx = jnp.arange(n_frames)
+    mask_v = (frame_idx[None, :] >= splits[:, None])[..., None, None]
+    va, vb = videos[ia], videos[ib]
+    videos = videos.at[ia].set(jnp.where(mask_v, vb, va))
+    videos = videos.at[ib].set(jnp.where(mask_v, va, vb))
+    mask_l = frame_idx[None, :] >= splits[:, None]
+    la, lb = labels[ia], labels[ib]
+    labels = labels.at[ia].set(jnp.where(mask_l, lb, la))
+    labels = labels.at[ib].set(jnp.where(mask_l, la, lb))
+    return videos, labels
+
+
 def _loss(pred, y, kind: str):
     if kind == "l1":
         return jnp.mean(jnp.abs(pred - y))

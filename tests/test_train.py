@@ -459,3 +459,59 @@ def test_bfloat16_compute_dtype_trains_and_keeps_f32_master():
         assert abs(losses["bfloat16"] - losses["float32"]) < max(
             0.5, 0.5 * losses["float32"]
         ), losses
+
+
+def test_mix_tails_uniform_swaps_at_split():
+    """Continuous-curriculum tail mixing: pairs (i, n-1-i), labels and videos
+    switch to the partner's values exactly at the split, the untouched middle
+    block is bit-identical, and the total label mass is conserved (the swap
+    is a permutation of frame slices)."""
+    from moleculardiffusion_mivit_tpu.train.loop import mix_tails_uniform
+
+    key = jax.random.key(0)
+    n, f, s = 16, 12, 5
+    videos = jnp.arange(n * f * s * s, dtype=jnp.float32).reshape(n, f, s, s)
+    labels = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32)[:, None], (n, f)
+    )
+    mv, ml = mix_tails_uniform(jax.random.key(3), videos, labels, f)
+    mv, ml = np.asarray(mv), np.asarray(ml)
+    half = (n // 2) // 2  # fraction=0.5 -> n/4 pairs
+    for i in range(half):
+        j = n - 1 - i
+        # before the split: own label; after: partner's label
+        row = ml[i]
+        changed = row != i
+        assert changed.any() and not changed[0]
+        split = changed.argmax()
+        assert f // 2 - 5 <= split < f // 2 + 5
+        assert (row[:split] == i).all() and (row[split:] == j).all()
+        assert (ml[j][:split] == j).all() and (ml[j][split:] == i).all()
+        np.testing.assert_array_equal(mv[i][split:], np.asarray(videos)[j][split:])
+        np.testing.assert_array_equal(mv[i][:split], np.asarray(videos)[i][:split])
+    # the middle half is untouched
+    np.testing.assert_array_equal(mv[half : n - half], np.asarray(videos)[half : n - half])
+    np.testing.assert_allclose(ml.sum(), np.asarray(labels).sum(), rtol=1e-6)
+
+
+def test_baseline_continuous_d_sequence_mode():
+    """continuous_d baseline build: per-frame labels carry the drawn D in
+    [lo, hi)/d_max, roughly half the sequences carry a planted transition,
+    and one fused cycle runs."""
+    from moleculardiffusion_mivit_tpu.experiments import get_experiment
+
+    exp = get_experiment(
+        "baseline", sequences_per_d=4, val_length=12, sequences=True,
+        try_leaky_relu=False, continuous_d=(0.5, 6.0),
+    )
+    data = exp.generate_fn(jax.random.key(5))
+    labels = np.asarray(data["labels"]) * exp.train_cfg.d_max_normalization
+    assert labels.shape == (16, 12)
+    assert (labels >= 0.5 - 1e-5).all() and (labels <= 6.0 + 1e-5).all()
+    mixed = (labels != labels[:, :1]).any(axis=1)
+    assert 0 < mixed.sum() <= labels.shape[0] // 2
+    assert data["videos"].shape == (16, 12, 9, 9)
+    exp.build(jax.random.key(0))
+    exp.run(num_cycles=1)
+    for name in exp.model_names:
+        assert np.isfinite(exp.history[name]["val_avg"][-1])
