@@ -157,11 +157,14 @@ def main():
     states = init_states(key, ex_videos[:1])
     lr = jnp.float32(train_cfg.lr)
 
-    def run_block(block_idx):
+    def run_block(block_idx, warmup=False):
         """One device dispatch = ``cpd`` full cycles; returns the last
-        cycle's val-MSE dict (fresh computed outputs — safe to sync on)."""
+        cycle's val-MSE dict (fresh computed outputs — safe to sync on).
+        Warmup blocks fold in from a disjoint namespace (2**20 + …) so no
+        warmup×cycles product can collide with timed-loop keys (timed keys
+        stay below 10_000 + cycles)."""
         nonlocal states
-        base = 10_000 + block_idx * cpd
+        base = (2**20 if warmup else 10_000) + block_idx * cpd
         if cpd == 1:
             k = jax.random.fold_in(key, base)
             states, _, val_mse = cycle(
@@ -175,7 +178,7 @@ def main():
         return {name: v[-1] for name, v in val_mse.items()}
 
     for w in range(args.warmup):
-        r = run_block(-1 - w)
+        r = run_block(w, warmup=True)
         jax.block_until_ready(r)
 
     t0 = time.perf_counter()
