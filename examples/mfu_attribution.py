@@ -68,13 +68,17 @@ def build_models(model_cfg):
 
 
 def parse_xplane(trace_dir: str):
-    """Per-op device-time table from the newest xplane.pb under trace_dir.
+    """Device-time-by-HLO-category table from the newest xplane.pb under
+    trace_dir.
 
-    Groups TPU op events by a coarse category keyed on the HLO op name —
-    fusion kinds stay distinct (a 'fusion' wrapping a convolution shows up
-    as convolution on TPU planes). Returns (device_total_us, by_category,
-    top_ops) or None when no device plane exists (tunnel backends may only
-    emit host planes)."""
+    Uses the TPU device plane's "XLA Ops" line, whose events NEST (a `while`
+    epoch scan's event spans all its body ops): each event's SELF time is
+    its duration minus its children's, reconstructed from interval
+    containment, so nothing is double-counted — summed self time matches the
+    measured cycle time within a few %. Events aggregate by the profiler's
+    own `hlo_category` stat ("convolution fusion", "loop fusion", "copy",
+    ...). Returns None when no device plane exists (a tunnel backend may
+    only emit host planes)."""
     try:
         from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except ImportError:
@@ -85,51 +89,50 @@ def parse_xplane(trace_dir: str):
     space = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
-    dev = [p for p in space.planes if "TPU" in p.name and "/device" in p.name.lower()
-           or p.name.startswith("/device:TPU")]
-    if not dev:
-        # axon tunnel may name planes differently; fall back to any
-        # non-host plane with events
-        dev = [p for p in space.planes if "Host" not in p.name and p.lines]
-    if not dev:
+    planes = [p for p in space.planes if p.name.startswith("/device:TPU")]
+    if not planes:
         return None
-    by_op = {}
-    for plane in dev:
-        names = {k: v.name for k, v in plane.event_metadata.items()}
+    by_cat: dict = {}
+    by_op: dict = {}
+    for plane in planes:
+        stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+        meta = {k: v for k, v in plane.event_metadata.items()}
+
+        def category(mid):
+            for s in meta[mid].stats:
+                if stat_names.get(s.metadata_id) == "hlo_category":
+                    return s.str_value
+            return "(uncategorized)"
+
         for line in plane.lines:
-            for ev in line.events:
-                name = names.get(ev.metadata_id, str(ev.metadata_id))
+            if line.name != "XLA Ops":
+                continue
+            evs = sorted(line.events, key=lambda e: (e.offset_ps, -e.duration_ps))
+            stack = []  # (start, end, metadata_id)
+            for ev in evs:
+                start, end = ev.offset_ps, ev.offset_ps + ev.duration_ps
+                while stack and stack[-1][1] <= start:
+                    stack.pop()
+                if stack:  # child time belongs to the child, not the parent
+                    pmid = stack[-1][2]
+                    by_cat[category(pmid)] = by_cat.get(category(pmid), 0) - ev.duration_ps
+                    pname = meta[pmid].display_name or meta[pmid].name
+                    by_op[pname] = by_op.get(pname, 0) - ev.duration_ps
+                c = category(ev.metadata_id)
+                name = meta[ev.metadata_id].display_name or meta[ev.metadata_id].name
+                by_cat[c] = by_cat.get(c, 0) + ev.duration_ps
                 by_op[name] = by_op.get(name, 0) + ev.duration_ps
-    total_ps = sum(by_op.values())
-    if total_ps == 0:
+                stack.append((start, end, ev.metadata_id))
+    total_ps = sum(by_cat.values())
+    if total_ps <= 0:
         return None
-
-    def category(op: str) -> str:
-        o = op.lower()
-        if "convolution" in o or o.startswith("conv"):
-            return "convolution (MXU)"
-        if "dot" in o or "einsum" in o or "matmul" in o:
-            return "dot (MXU)"
-        if any(k in o for k in ("copy", "transpose", "reshape", "bitcast", "slice", "concatenate", "pad", "gather", "scatter", "dynamic-update")):
-            return "data movement"
-        if any(k in o for k in ("reduce", "norm", "softmax")):
-            return "reductions/norms"
-        if any(k in o for k in ("rng", "threefry", "random")):
-            return "rng"
-        if "while" in o or "condition" in o or "body" in o:
-            return "loop overhead"
-        return "elementwise/other"
-
-    by_cat = {}
-    for op, ps in by_op.items():
-        c = category(op)
-        by_cat[c] = by_cat.get(c, 0) + ps
-    top = sorted(by_op.items(), key=lambda kv: -kv[1])[:15]
+    top = sorted(by_op.items(), key=lambda kv: -kv[1])[:12]
     return {
-        "device_total_ms": round(total_ps / 1e9, 3),
+        "device_self_time_ms": round(total_ps / 1e9, 3),
         "by_category_pct": {
             c: round(100.0 * ps / total_ps, 1)
             for c, ps in sorted(by_cat.items(), key=lambda kv: -kv[1])
+            if ps / total_ps >= 0.0005
         },
         "top_ops_pct": {op: round(100.0 * ps / total_ps, 1) for op, ps in top},
     }
@@ -281,16 +284,11 @@ def main():
     except Exception as e:  # a model-family layout surprise must not kill the report
         stages["flagship_split_error"] = repr(e)
 
-    def full_epoch():
-        st, loss = train_cycle(
-            jax.tree.map(jnp.copy, fstate), videos, labels, None,
-            key, jnp.float32(1e-4), bs,
-        )
-        return loss
-
-    steps = videos.shape[0] // bs
-    stages["flagship_epoch_ms"] = timed(full_epoch, max(args.cycles // 2, 5)) * 1e3
-    stages["flagship_steps_per_epoch"] = steps
+    # (a standalone full-epoch timing was tried and dropped: donation forces a
+    # fresh param-tree copy per call, whose ~100 small dispatches through the
+    # tunnel dominate the reading — the fwd/bwd split above plus the measured
+    # full-cycle time carry the same information uncontaminated)
+    stages["flagship_steps_per_epoch"] = videos.shape[0] // bs
     stages["eval_700seq_ms"] = timed(lambda: evaluate(fstate, val_concat)) * 1e3
     report["stages"] = {
         k: (round(v, 3) if isinstance(v, float) else v) for k, v in stages.items()
