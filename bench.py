@@ -67,6 +67,17 @@ def main():
         "already pipelines per-cycle launches, RESULTS.md), so default 1; "
         "--cycles must be a multiple.",
     )
+    ap.add_argument(
+        "--compute-dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="forward/backward compute precision (TrainConfig.compute_dtype): "
+        "bfloat16 keeps f32 master params + optimizer state and casts "
+        "params/activations for the loss — measured +26%% throughput at "
+        "batch 64 (22.4 -> 28.2%% MFU, results/mfu_attribution). float32 "
+        "stays the default so the benchmark series remains the reference's "
+        "own f32 training workload.",
+    )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -99,7 +110,9 @@ def main():
     unroll = args.unroll if args.unroll else (
         1 if stack_pairs or args.batch_size != 1 else 16
     )
-    train_cfg = TrainConfig(seed=0, scan_unroll=unroll)
+    train_cfg = TrainConfig(
+        seed=0, scan_unroll=unroll, compute_dtype=args.compute_dtype
+    )
     model_cfg = ModelConfig(use_pos_encoding=True)  # trainSettings.py:34
     n_seq = train_cfg.sequences_per_d * len(train_cfg.training_ds)
 
