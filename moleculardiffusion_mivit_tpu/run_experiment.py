@@ -61,6 +61,16 @@ def main(argv=None):
         "compile time for cycle time (see RESULTS.md)",
     )
     ap.add_argument(
+        "--compute-dtype",
+        choices=("float32", "bfloat16"),
+        default=None,
+        help="forward/backward compute precision (TrainConfig.compute_dtype): "
+        "bfloat16 keeps f32 master params + optimizer state and casts "
+        "params/activations inside the loss — measured +26%% training "
+        "throughput at batch 64 (results/mfu_attribution). Default float32 "
+        "(the reference's own precision)",
+    )
+    ap.add_argument(
         "--resume",
         type=str,
         default=None,
@@ -131,6 +141,11 @@ def main(argv=None):
         for arm in exp.arms.values():
             if getattr(arm, "train_cfg", None) is not None:
                 arm.train_cfg = arm.train_cfg.replace(scan_unroll=args.unroll)
+    if args.compute_dtype:
+        exp.train_cfg = exp.train_cfg.replace(compute_dtype=args.compute_dtype)
+        for arm in exp.arms.values():
+            if getattr(arm, "train_cfg", None) is not None:
+                arm.train_cfg = arm.train_cfg.replace(compute_dtype=args.compute_dtype)
     if args.no_stack_pairs:
         exp.stack_pairs = False
     if args.mesh:
