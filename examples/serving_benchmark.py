@@ -160,6 +160,14 @@ def main(argv=None):
         "(trainSettingsImagesFeatures.py:255-300) to pin its cost factor",
     )
     ap.add_argument(
+        "--bf16",
+        action="store_true",
+        help="serve the forward in bfloat16 (params, stats and activations "
+        "cast once; predictions returned f32) and report the max prediction "
+        "delta vs the f32 forward on the same batch — the serving-side "
+        "variant of TrainConfig.compute_dtype",
+    )
+    ap.add_argument(
         "--per-arm",
         metavar="OUT_JSON",
         default=None,
@@ -184,11 +192,27 @@ def main(argv=None):
     )
 
     @jax.jit
-    def forward(videos):
+    def forward_f32(videos):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         return model.apply(variables, videos, train=False)
+
+    if args.bf16:
+        cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        bparams = jax.tree.map(cast, params)
+        bstats = jax.tree.map(cast, batch_stats)
+
+        @jax.jit
+        def forward(videos):
+            variables = {"params": bparams}
+            if bstats:
+                variables["batch_stats"] = bstats
+            out = model.apply(variables, cast(videos), train=False)
+            return out.astype(jnp.float32)
+
+    else:
+        forward = forward_f32
 
     @jax.jit
     def forward_tta(videos):
@@ -216,6 +240,13 @@ def main(argv=None):
             "latency_ms": round(sec * 1e3, 2),
             "seqs_per_sec": round(b / sec),
         }
+        if args.bf16:
+            # max |bf16 - f32| prediction delta in physical D units (×10):
+            # the numeric cost of the serving cast, on the same batch
+            delta = float(
+                jnp.max(jnp.abs(forward(videos) - forward_f32(videos)))
+            )
+            row["max_pred_delta_d_units"] = round(delta * 10.0, 5)
         if args.tta:
             tta_sec = timed(forward_tta, videos)
             row["tta_latency_ms"] = round(tta_sec * 1e3, 2)
