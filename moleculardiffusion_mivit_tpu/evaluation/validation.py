@@ -77,6 +77,21 @@ def build_in_order_data(
     data = make_dataset(jax.random.fold_in(key, 777), flat, train_cfg, optics)
     data["labels"] = None
     data["d_values"] = np.asarray(d_values)[:n_d]
+
+    def re_render(render_key: jax.Array):
+        """The same trajectory suite under a FRESH render-noise draw.
+
+        Round 4 measured the render draw as the dominant noise on in-order
+        scores (σ ≈ 0.011 per render vs 0.002 per training seed,
+        results/render_noise) — multi-render scoring
+        (``Experiment.in_order_error_tables(n_renders=K)``,
+        ``run_experiment --in-order-renders K``) averages it out."""
+        d2 = make_dataset(render_key, flat, train_cfg, optics)
+        d2["labels"] = None
+        d2["d_values"] = data["d_values"]
+        return d2
+
+    data["re_render"] = re_render
     return data
 
 

@@ -812,36 +812,68 @@ class Experiment:
         return cycle_avgs
 
     # -- poster-style scoring --------------------------------------------
-    def in_order_predictions(self) -> Dict[str, Any]:
+    def in_order_predictions(self, data: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """Per-sequence predictions of every model on the in-order D sweep,
         reshaped ``(n_d, n_particles)`` in physical D units — the raw
         material of the analysis notebooks' prediction-vs-D curves and error
-        violins (train_resultsImagesFeatures.ipynb cells 8-9)."""
+        violins (train_resultsImagesFeatures.ipynb cells 8-9). ``data``
+        overrides the built sweep (e.g. a fresh render from
+        ``in_order_data["re_render"]``)."""
         import numpy as np
 
-        assert self.in_order_data is not None, "experiment has no in-order sweep"
-        d_values = self.in_order_data["d_values"]
+        data = data if data is not None else self.in_order_data
+        assert data is not None, "experiment has no in-order sweep"
+        d_values = data["d_values"]
         n_d = len(d_values)
         out: Dict[str, Any] = {}
         for arm_name, arm in self.arms.items():
             if isinstance(arm, GridArm):
                 # one (chunked) grid evaluation covers every member model
-                preds = self._grid_predictions(arm_name, arm, self.in_order_data)
+                preds = self._grid_predictions(arm_name, arm, data)
                 for mi, mname in enumerate(arm.names):
                     out[mname] = np.asarray(jnp.reshape(preds[mi], (n_d, -1)))
             else:
-                preds = self.predict(arm_name, self.in_order_data)
+                preds = self.predict(arm_name, data)
                 out[arm_name] = np.asarray(jnp.reshape(preds, (n_d, -1)))
         return out
 
-    def in_order_error_tables(self) -> Dict[str, Dict[str, float]]:
+    def in_order_error_tables(self, n_renders: int = 1) -> Dict[str, Dict[str, float]]:
         """Evaluate every arm on the in-order D sweep and score it the poster
-        way (mse of pred−true, std/4) — train_resultsPSFNoise.ipynb cell 10."""
+        way (mse of pred−true, std/4) — train_resultsPSFNoise.ipynb cell 10.
+
+        ``n_renders > 1`` re-scores the identical trajectories under fresh
+        render-noise draws (``in_order_data["re_render"]``) and augments each
+        table with ``mse_render_mean`` / ``mse_render_std`` / ``mse_renders``
+        — the render draw is the dominant noise on these scores (σ ≈ 0.011
+        vs 0.002 training-seed σ on the reconciled suite,
+        results/render_noise), so single-render records are ±0.01
+        quantities. The base ``mse`` stays the first (protocol) render for
+        backward comparability."""
         from moleculardiffusion_mivit_tpu.evaluation import error_table
 
         assert self.in_order_data is not None, "experiment has no in-order sweep"
         d_values = self.in_order_data["d_values"]
-        return {
+        tables = {
             name: error_table(preds, d_values)
             for name, preds in self.in_order_predictions().items()
         }
+        if n_renders > 1:
+            import numpy as np
+
+            re_render = self.in_order_data.get("re_render")
+            assert re_render is not None, (
+                "this experiment's in-order sweep was pre-rendered and cannot "
+                "be re-rendered (no 're_render' hook; build it via "
+                "evaluation.build_in_order_data)"
+            )
+            per_arm = {name: [t["mse"]] for name, t in tables.items()}
+            key = jax.random.key(self.train_cfg.seed + 424242)
+            for r in range(n_renders - 1):
+                data = re_render(jax.random.fold_in(key, r))
+                for name, preds in self.in_order_predictions(data).items():
+                    per_arm[name].append(float(error_table(preds, d_values)["mse"]))
+            for name, mses in per_arm.items():
+                tables[name]["mse_render_mean"] = float(np.mean(mses))
+                tables[name]["mse_render_std"] = float(np.std(mses, ddof=1))
+                tables[name]["mse_renders"] = [round(float(m), 5) for m in mses]
+        return tables

@@ -61,6 +61,17 @@ def main(argv=None):
         "compile time for cycle time (see RESULTS.md)",
     )
     ap.add_argument(
+        "--in-order-renders",
+        type=int,
+        default=1,
+        help="score the in-order sweep on K fresh render-noise draws of the "
+        "identical trajectories and report mse mean ± std across renders "
+        "alongside the protocol (first-render) score. The render draw is "
+        "the dominant noise on these scores (σ ≈ 0.011 vs 0.002 training "
+        "seed σ on the reconciled suite — results/render_noise), so "
+        "single-render records are ±0.01 quantities",
+    )
+    ap.add_argument(
         "--compute-dtype",
         choices=("float32", "bfloat16"),
         default=None,
@@ -208,6 +219,8 @@ def main(argv=None):
         d_values = exp.in_order_data["d_values"]
         preds = exp.in_order_predictions()
         tables = {name: error_table(p, d_values) for name, p in preds.items()}
+        if args.in_order_renders > 1:
+            tables = exp.in_order_error_tables(n_renders=args.in_order_renders)
         csv_path = os.path.join(out_dir, f"{args.experiment}_errors.csv")
         save_error_table_csv(tables, csv_path)
         logger.log("error_tables", path=csv_path, tables=tables)

@@ -196,6 +196,21 @@ def test_images_features_in_order_predictions_and_tables():
     err = preds["MSD_Frame"] - np.asarray(d_values)[:, None]
     assert abs(tables["MSD_Frame"]["mse"] - float((err**2).mean())) < 1e-6
 
+    # multi-render scoring: identical trajectories, fresh render noise.
+    # The first (protocol) render's mse is preserved; the render-mean/std
+    # summarize the draws; MSD arms see a nonzero-but-small render spread
+    # while the trajectory suite itself stays fixed.
+    t2 = exp.in_order_error_tables(n_renders=3)
+    for name in exp.model_names:
+        assert t2[name]["mse"] == tables[name]["mse"]
+        assert len(t2[name]["mse_renders"]) == 3
+        assert t2[name]["mse_renders"][0] == round(tables[name]["mse"], 5)
+        assert np.isfinite(t2[name]["mse_render_mean"])
+        assert 0.0 <= t2[name]["mse_render_std"] < 0.5 * t2[name]["mse_render_mean"] + 1e-9
+    # MSD_Perfect scores the oracle sub-positions, which do not depend on
+    # the render at all - its spread must be exactly zero
+    assert t2["MSD_Perfect"]["mse_render_std"] == 0.0
+
 
 def test_images_features_rejects_unknown_in_order_suite():
     """A typo'd suite name must raise, not silently score the wrong
