@@ -68,6 +68,7 @@ def main(argv=None):
     arm = exp.arms[args.arm]
     _, evaluate = exp._fns[args.arm]
     mse = np.zeros((len(args.run_dirs), args.renders))
+    preds = np.zeros((len(args.run_dirs), args.renders, n_d * n_p))
     for i, run_dir in enumerate(args.run_dirs):
         restore_experiment(exp, os.path.join(run_dir, "final"))
         for r, data in enumerate(renders):
@@ -77,6 +78,7 @@ def main(argv=None):
                 if arm.with_features
                 else evaluate(exp.states[args.arm], videos)
             )
+            preds[i, r] = np.asarray(pred[..., 0])
             mse[i, r] = float(
                 error_table(jnp.reshape(pred[..., 0], (n_d, -1)), d_values)["mse"]
             )
@@ -84,6 +86,17 @@ def main(argv=None):
 
     seed_sigma = float(mse.std(axis=0, ddof=1).mean())  # across seeds, fixed render
     render_sigma = float(mse.mean(axis=0).std(ddof=1))  # seed-mean across renders
+    # the render-averaged record: the K-seed PREDICTION ensemble scored per
+    # render, then averaged over renders — the number that survives both
+    # noise sources
+    ens_per_render = [
+        float(
+            error_table(
+                jnp.reshape(jnp.asarray(preds[:, r].mean(axis=0)), (n_d, -1)), d_values
+            )["mse"]
+        )
+        for r in range(args.renders)
+    ]
     report = {
         "arm": args.arm,
         "run_dirs": args.run_dirs,
@@ -92,6 +105,9 @@ def main(argv=None):
         "seed_sigma_at_fixed_render": round(seed_sigma, 4),
         "render_sigma_of_seed_mean": round(render_sigma, 4),
         "grand_mean": round(float(mse.mean()), 4),
+        "ensemble_mse_per_render": [round(v, 4) for v in ens_per_render],
+        "ensemble_render_mean": round(float(np.mean(ens_per_render)), 4),
+        "ensemble_render_std": round(float(np.std(ens_per_render, ddof=1)), 4),
     }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "render_noise_report.json"), "w") as f:
