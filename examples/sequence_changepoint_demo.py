@@ -37,6 +37,14 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cycles", type=int, default=60)
+    ap.add_argument(
+        "--seqs-per-d",
+        type=int,
+        default=64,
+        help="training sequences per class per cycle (the free on-device "
+        "data-scaling lever; the evaluation set stays at the 64/class "
+        "protocol size either way so numbers remain comparable)",
+    )
     ap.add_argument("--model", type=str, default="deepcnn_2layer_s")
     ap.add_argument(
         "--score-threshold",
@@ -73,7 +81,10 @@ def main():
     if args.continuous:
         lo, hi = (float(x) for x in args.continuous.split(","))
         continuous = (lo, hi)
-    exp = get_experiment("baseline", sequences=True, continuous_d=continuous)
+    exp = get_experiment(
+        "baseline", sequences=True, continuous_d=continuous,
+        sequences_per_d=args.seqs_per_d,
+    )
     exp.build(jax.random.key(0))
     print(f"training {len(exp.model_names)} sequence-mode models, "
           f"{args.cycles} cycles", flush=True)
@@ -83,8 +94,9 @@ def main():
                 f"{ {k: round(v, 2) for k, v in sorted(avgs.items())[:3]} }",
                 flush=True))
 
-    # -- planted-transition evaluation set (held-out key) ----------------
-    cfg = exp.train_cfg
+    # -- planted-transition evaluation set (held-out key; pinned to the
+    # 64/class protocol size so results compare across training scales) ---
+    cfg = exp.train_cfg.replace(sequences_per_d=64)
     k_eval = jax.random.key(777)
     videos, labels, _ = generate_cycle_data(k_eval, cfg, exp.optics)
     n_classes = len(cfg.training_ds)
@@ -136,6 +148,7 @@ def main():
         "model": args.model,
         "curriculum": f"continuous U({continuous[0]}, {continuous[1]})" if continuous else "discrete 4-class",
         "cycles": args.cycles,
+        "seqs_per_d": args.seqs_per_d,
         "n_mixed": int(has_transition.sum()),
         "n_controls": int(len(score_c)),
         "roc_auc": round(auc, 3),
