@@ -1,0 +1,220 @@
+"""Change-point detection with per-frame feature tokens (round 4, the
+second accuracy lever the verdict asked about).
+
+The curriculum and data-scale levers both left adjacent-class (ΔD=1)
+detection at zero (results/changepoint_{continuous,scaled}). This study
+tries the remaining round-3 accuracy lever: the ModularTransformer's
+per-frame kinematic feature tokens (models.py:366-593 pathway, the D ≤ 7
+regression champion), in SEQUENCE mode — per-frame D predictions from
+image tokens fused with per-frame displacement features. The feature
+tokens give the model direct per-frame displacement evidence, the
+quantity a transition detector needs.
+
+Protocol mirrors examples/sequence_changepoint_demo.py exactly (4 discrete
+classes, tail-swap training augmentation, planted-transition evaluation at
+the pinned 64/class size, threshold calibrated to 5% FP on an independent
+constant-D split) — with the tail swap applied consistently to videos,
+per-frame labels AND per-frame feature tokens at the same splits. Two arms
+train on the SAME generated data so the comparison is internal:
+``mod_images`` (image tokens only — the architecture control) and
+``mod_both_concat`` (per-frame feature fusion).
+
+Run: python examples/sequence_changepoint_modular.py [--cycles 150]
+         [--seqs-per-d 256] [--out results/changepoint_modular]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mix_tails_multi(key, arrays, n_classes: int, n_frames: int):
+    """``train.loop.mix_trajectory_tails``'s pairing scheme (quarter-block
+    pairs 0↔3, 0↔2, 1↔3, 1↔2 at splits in [F/2-5, F/2+5)) applied to any
+    number of frame-major arrays at the SAME splits — videos (N, F, S, S),
+    labels (N, F) and per-frame feature tokens (N, F, n_pf) must swap
+    consistently or the fused model sees contradictory modalities."""
+    n_total = arrays[0].shape[0]
+    n_per = n_total // n_classes
+    quarter = n_per // 4
+    if quarter == 0 or n_classes < 4:
+        return arrays
+    arrays = list(arrays)
+    frame_idx = jnp.arange(n_frames)
+    pairs = [(0, 3, 0), (0, 2, quarter), (1, 3, quarter), (1, 2, 0)]
+    for pair_i, (ca, cb, start) in enumerate(pairs):
+        k = jax.random.fold_in(key, pair_i)
+        splits = jax.random.randint(k, (quarter,), n_frames // 2 - 5, n_frames // 2 + 5)
+        ia = ca * n_per + start + jnp.arange(quarter)
+        ib = cb * n_per + start + jnp.arange(quarter)
+        base = frame_idx[None, :] >= splits[:, None]  # (quarter, F)
+        for j, arr in enumerate(arrays):
+            mask = base.reshape(base.shape + (1,) * (arr.ndim - 2))
+            a, bb = arr[ia], arr[ib]
+            arr = arr.at[ia].set(jnp.where(mask, bb, a))
+            arrays[j] = arr.at[ib].set(jnp.where(mask, a, bb))
+    return tuple(arrays)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cycles", type=int, default=150)
+    ap.add_argument("--seqs-per-d", type=int, default=256)
+    ap.add_argument("--out", default="results/changepoint_modular")
+    args = ap.parse_args()
+
+    from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
+    from moleculardiffusion_mivit_tpu.evaluation import detect_change_points
+    from moleculardiffusion_mivit_tpu.features import (
+        N_PER_FRAME_FEATURES,
+        compute_per_frame_features,
+    )
+    from moleculardiffusion_mivit_tpu.models import ModularTransformer
+    from moleculardiffusion_mivit_tpu.sim import normalize_images, single_state, trajectories_to_video
+    from moleculardiffusion_mivit_tpu.sim.trajectory import average_trajectories_frames
+    from moleculardiffusion_mivit_tpu.train import make_train_fns
+
+    train_cfg = TrainConfig(
+        seed=0,
+        sequences_per_d=args.seqs_per_d,
+        training_ds=((1, 1), (3, 1), (5, 1), (7, 1)),
+        sequence_mode=True,
+        mix_trajectories=True,
+    )
+    # sequence-mode config mirrors the baseline experiment's
+    # (trainSettings.py:26/34): positional encoding on, per-token outputs
+    model_cfg = ModelConfig(
+        use_pos_encoding=True, use_regression_token=False, single_prediction=False
+    )
+    optics = BASELINE_OPTICS
+    p, f = train_cfg.n_pos_per_frame, train_cfg.n_frames
+    n_classes = len(train_cfg.training_ds)
+    bg_mean, bg_sigma = optics.background_intensity
+    part_mean = optics.particle_intensity[0]
+
+    def generate(key, seqs_per_d: int, mix: bool):
+        """Videos + per-frame labels + per-frame feature tokens, tails
+        swapped consistently across all three when ``mix``."""
+        k_mix = jax.random.fold_in(key, 999)
+        videos, labels, pf = [], [], []
+        for i, ds in enumerate(train_cfg.training_ds):
+            k_sim, k_render = jax.random.split(jax.random.fold_in(key, i))
+            trajs, labs = single_state(k_sim, seqs_per_d, f * p, Ds=tuple(ds))
+            trajs = trajs / train_cfg.traj_div_factor
+            v = trajectories_to_video(k_render, trajs, p, train_cfg.center, optics)
+            v, _ = normalize_images(v, bg_mean, bg_sigma, part_mean + bg_mean)
+            videos.append(v)
+            avg = average_trajectories_frames(trajs, p)
+            pf.append(compute_per_frame_features(avg))
+            y = labs[:, :, 1].reshape(seqs_per_d, f, p).mean(axis=2)
+            labels.append(y / train_cfg.d_max_normalization)
+        videos = jnp.concatenate(videos)
+        labels = jnp.concatenate(labels)
+        pf = jnp.concatenate(pf)
+        if mix:
+            videos, labels, pf = mix_tails_multi(
+                k_mix, (videos, labels, pf), n_classes, f
+            )
+        return videos, labels, pf
+
+    def modular(mode):
+        return ModularTransformer(
+            model_cfg,
+            mode=mode,
+            image_embedding="deep_resnet",
+            features_dim=N_PER_FRAME_FEATURES,
+            feature_embedding_type="mlp",
+            fusion_method="concat_proj",
+        )
+
+    arms = {"mod_images": modular("images_only"), "mod_both_concat": modular("both")}
+    key = jax.random.key(0)
+    ex_videos, _, ex_pf = generate(jax.random.fold_in(key, 0), 4, mix=False)
+
+    import time
+
+    states, fns = {}, {}
+    for i, (name, model) in enumerate(arms.items()):
+        init_state, train_cycle, evaluate = make_train_fns(
+            model, train_cfg, with_features=True
+        )
+        fns[name] = (train_cycle, evaluate)
+        states[name] = init_state(jax.random.fold_in(key, i), ex_videos[:1], ex_pf[:1])
+
+    t0 = time.time()
+    for c in range(args.cycles):
+        k_c = jax.random.fold_in(key, 10 + c)
+        videos, labels, pf = generate(k_c, args.seqs_per_d, mix=True)
+        lr = jnp.float32(train_cfg.lr_for_cycle(c))
+        bs = train_cfg.batch_size_for_cycle(c)
+        for j, name in enumerate(arms):
+            states[name], loss = fns[name][0](
+                states[name], videos, labels, pf,
+                jax.random.fold_in(k_c, 100 + j), lr, bs,
+            )
+        if (c + 1) % 25 == 0:
+            print(f"cycle {c+1}/{args.cycles} loss {float(loss):.5f}", flush=True)
+    print(f"trained in {time.time()-t0:.0f}s", flush=True)
+
+    # -- planted-transition evaluation (demo protocol: held-out key, pinned
+    # 64/class size, independent calibration split) -----------------------
+    k_eval = jax.random.key(777)
+    videos, labels, pf = generate(k_eval, 64, mix=False)
+    mixed_v, mixed_l, mixed_pf = mix_tails_multi(
+        jax.random.fold_in(k_eval, 1), (videos, labels, pf), n_classes, f
+    )
+    cal_v, _, cal_pf = generate(jax.random.fold_in(k_eval, 2), 64, mix=False)
+
+    ml = np.asarray(mixed_l) * train_cfg.d_max_normalization
+    changed = ml != ml[:, :1]
+    has_transition = changed.any(axis=1)
+    true_split = np.where(has_transition, changed.argmax(axis=1), -1)
+    contrast = np.abs(ml[:, -1] - ml[:, 0])
+
+    report = {"cycles": args.cycles, "seqs_per_d": args.seqs_per_d,
+              "n_mixed": int(has_transition.sum()), "n_controls": int(videos.shape[0])}
+    for name in arms:
+        evaluate = fns[name][1]
+        pm = np.asarray(evaluate(states[name], mixed_v, mixed_pf)).squeeze(-1)
+        pc = np.asarray(evaluate(states[name], videos, pf)).squeeze(-1)
+        pcal = np.asarray(evaluate(states[name], cal_v, cal_pf)).squeeze(-1)
+        split_m, score_m = map(np.asarray, detect_change_points(jnp.asarray(pm)))
+        _, score_c = detect_change_points(jnp.asarray(pc))
+        _, score_cal = detect_change_points(jnp.asarray(pcal))
+        score_c, score_cal = np.asarray(score_c), np.asarray(score_cal)
+        sm = score_m[has_transition]
+        auc = float((sm[:, None] > score_c[None, :]).mean()
+                    + 0.5 * (sm[:, None] == score_c[None, :]).mean())
+        thr = float(np.percentile(score_cal, 95.0))
+        hit = has_transition & (score_m > thr)
+        loc = np.abs(split_m[hit] - true_split[hit])
+        by_contrast = {}
+        for dd in sorted(set(np.round(contrast[has_transition]).astype(int))):
+            sel = has_transition & (np.round(contrast).astype(int) == dd)
+            by_contrast[f"dD={dd}"] = {
+                "n": int(sel.sum()),
+                "detection_rate": round(float((score_m[sel] > thr).mean()), 3),
+            }
+        report[name] = {
+            "roc_auc": round(auc, 3),
+            "detection_rate": round(float((sm > thr).mean()), 3),
+            "false_positive_rate": round(float((score_c > thr).mean()), 3),
+            "median_split_error_frames": float(np.median(loc)) if len(loc) else None,
+            "by_contrast": by_contrast,
+        }
+        print(name, json.dumps(report[name]), flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "changepoint_modular.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"report -> {args.out}/changepoint_modular.json")
+
+
+if __name__ == "__main__":
+    main()
