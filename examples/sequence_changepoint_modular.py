@@ -65,6 +65,7 @@ def mix_tails_multi(key, arrays, n_classes: int, n_frames: int):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cycles", type=int, default=150)
+    ap.add_argument("--seed", type=int, default=0, help="training/init key (the planted-transition eval set stays on its own held-out key)")
     ap.add_argument("--seqs-per-d", type=int, default=256)
     ap.add_argument("--out", default="results/changepoint_modular")
     args = ap.parse_args()
@@ -134,7 +135,7 @@ def main():
         )
 
     arms = {"mod_images": modular("images_only"), "mod_both_concat": modular("both")}
-    key = jax.random.key(0)
+    key = jax.random.key(args.seed)
     ex_videos, _, ex_pf = generate(jax.random.fold_in(key, 0), 4, mix=False)
 
     import time
@@ -177,7 +178,7 @@ def main():
     true_split = np.where(has_transition, changed.argmax(axis=1), -1)
     contrast = np.abs(ml[:, -1] - ml[:, 0])
 
-    report = {"cycles": args.cycles, "seqs_per_d": args.seqs_per_d,
+    report = {"cycles": args.cycles, "seqs_per_d": args.seqs_per_d, "seed": args.seed,
               "n_mixed": int(has_transition.sum()), "n_controls": int(videos.shape[0])}
     for name in arms:
         evaluate = fns[name][1]
