@@ -515,3 +515,37 @@ def test_baseline_continuous_d_sequence_mode():
     exp.run(num_cycles=1)
     for name in exp.model_names:
         assert np.isfinite(exp.history[name]["val_avg"][-1])
+
+
+def test_mix_tails_multi_matches_reference_mixer():
+    """The changepoint-modular example reimplements mix_trajectory_tails'
+    pairing so it can swap videos, labels AND per-frame feature tokens at
+    the same splits — pin it to the train.loop implementation so the two
+    cannot drift: given (videos, labels) it must produce bit-identical
+    output, and a third array must swap at exactly the label mask."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "cpm", os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "sequence_changepoint_modular.py")
+    )
+    cpm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cpm)
+
+    key = jax.random.key(4)
+    n, f, s, n_pf = 32, 12, 5, 3
+    videos = jax.random.normal(key, (n, f, s, s))
+    labels = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32)[:, None], (n, f))
+    feats = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.float32)[:, None, None], (n, f, n_pf)
+    )
+    k_mix = jax.random.key(9)
+    ref_v, ref_l = mix_trajectory_tails(k_mix, videos, labels, 4, f)
+    got_v, got_l, got_f = cpm.mix_tails_multi(k_mix, (videos, labels, feats), 4, f)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
+    # the feature tensor swaps exactly where the labels swapped
+    np.testing.assert_array_equal(
+        np.asarray(got_f[..., 0]), np.asarray(ref_l)
+    )
