@@ -67,6 +67,18 @@ def main():
     ap.add_argument("--cycles", type=int, default=150)
     ap.add_argument("--seed", type=int, default=0, help="training/init key (the planted-transition eval set stays on its own held-out key)")
     ap.add_argument("--seqs-per-d", type=int, default=256)
+    ap.add_argument(
+        "--continuous",
+        type=str,
+        default=None,
+        metavar="LO,HI",
+        help="train with per-sequence D ~ Uniform(LO, HI) and random-partner "
+        "tail mixing (train.loop.mix_tails_uniform's scheme extended to the "
+        "feature tokens) instead of the 4 discrete classes — asks whether "
+        "the curriculum that HURT the image-only detector still hurts once "
+        "per-frame feature tokens carry the signal. The planted-transition "
+        "evaluation stays on the discrete protocol either way.",
+    )
     ap.add_argument("--out", default="results/changepoint_modular")
     args = ap.parse_args()
 
@@ -124,6 +136,50 @@ def main():
             )
         return videos, labels, pf
 
+    continuous = None
+    if args.continuous:
+        lo, hi = (float(x) for x in args.continuous.split(","))
+        continuous = (lo, hi)
+        from moleculardiffusion_mivit_tpu.sim.trajectory import brownian_motion
+
+        def generate_train(key, seqs_per_d: int):
+            """Continuous curriculum: D ~ U(lo, hi) per sequence, i↔(n-1-i)
+            partner tail-mixing (mix_tails_uniform's scheme) applied to
+            videos, labels and feature tokens at the same splits."""
+            n_total = seqs_per_d * n_classes
+            kd, kt, kr, k_mix = jax.random.split(key, 4)
+            d = jax.random.uniform(kd, (n_total,), minval=lo, maxval=hi)
+            trajs = (
+                brownian_motion(kt, n_total, f, p, d, float(p))
+                / train_cfg.traj_div_factor
+            )
+            v = trajectories_to_video(kr, trajs, p, train_cfg.center, optics)
+            v, _ = normalize_images(v, bg_mean, bg_sigma, part_mean + bg_mean)
+            avg = average_trajectories_frames(trajs, p)
+            pfx = compute_per_frame_features(avg)
+            labels = jnp.broadcast_to(
+                (d / train_cfg.d_max_normalization)[:, None], (n_total, f)
+            ).astype(jnp.float32)
+            # mix_tails_uniform's pairing (i <-> n-1-i, half the sequences),
+            # extended to 3 arrays at shared splits
+            half = (n_total // 2) // 2
+            ia = jnp.arange(half)
+            ib = (n_total - 1) - ia
+            splits = jax.random.randint(k_mix, (half,), f // 2 - 5, f // 2 + 5)
+            base = jnp.arange(f)[None, :] >= splits[:, None]
+            out = []
+            for arr in (v, labels, pfx):
+                mask = base.reshape(base.shape + (1,) * (arr.ndim - 2))
+                a, bb = arr[ia], arr[ib]
+                arr = arr.at[ia].set(jnp.where(mask, bb, a))
+                out.append(arr.at[ib].set(jnp.where(mask, a, bb)))
+            return tuple(out)
+
+    else:
+
+        def generate_train(key, seqs_per_d: int):
+            return generate(key, seqs_per_d, mix=True)
+
     def modular(mode):
         return ModularTransformer(
             model_cfg,
@@ -151,7 +207,7 @@ def main():
     t0 = time.time()
     for c in range(args.cycles):
         k_c = jax.random.fold_in(key, 10 + c)
-        videos, labels, pf = generate(k_c, args.seqs_per_d, mix=True)
+        videos, labels, pf = generate_train(k_c, args.seqs_per_d)
         lr = jnp.float32(train_cfg.lr_for_cycle(c))
         bs = train_cfg.batch_size_for_cycle(c)
         for j, name in enumerate(arms):
@@ -179,6 +235,7 @@ def main():
     contrast = np.abs(ml[:, -1] - ml[:, 0])
 
     report = {"cycles": args.cycles, "seqs_per_d": args.seqs_per_d, "seed": args.seed,
+              "curriculum": f"continuous U{continuous}" if continuous else "discrete 4-class",
               "n_mixed": int(has_transition.sum()), "n_controls": int(videos.shape[0])}
     for name in arms:
         evaluate = fns[name][1]
