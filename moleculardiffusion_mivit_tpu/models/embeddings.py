@@ -17,12 +17,112 @@ eps=1e-5 / momentum 0.1 (torch defaults); running stats live in the
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN = lambda name=None: nn.BatchNorm(
     use_running_average=None, momentum=0.9, epsilon=1e-5, name=name
 )
+_BN_MOMENTUM = 0.9
+
+# ---------------------------------------------------------------------------
+# Fused-embedding backend switch (mirrors sim.render.set_render_backend):
+# "fused" routes DeepResNetEmbedding's TRAINING forward through the
+# whole-embedding Pallas kernel (ops/fused_embedding.py; interpret-mode
+# off-TPU — used by the parity tests); "xla" keeps the flax/conv path;
+# "auto" picks the measured-faster path per regime. Measured on TPU v5e
+# (results/fused_embedding, RESULTS.md): the kernel runs at PARITY with
+# XLA's per-op lowering at the batch-1 bench shape (fwd 34.5 vs 35.2 µs,
+# fwd+bwd 85.3 vs 83.9) — XLA is already at the latency floor there — so
+# "auto" currently resolves to the XLA path everywhere.
+_EMBEDDING_BACKEND = "auto"
+
+
+def set_embedding_backend(backend: str) -> None:
+    global _EMBEDDING_BACKEND
+    if backend not in ("auto", "fused", "xla"):
+        raise ValueError(f"unknown embedding backend {backend!r}")
+    _EMBEDDING_BACKEND = backend
+
+
+def _route_fused(n_images: int, train: bool) -> bool:
+    if _EMBEDDING_BACKEND == "xla" or not train:
+        return False
+    return _EMBEDDING_BACKEND == "fused"
+
+
+class _ConvParams(nn.Module):
+    """Declares exactly the param an ``nn.Conv(use_bias=False)`` would."""
+
+    kshape: Tuple[int, ...]  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.kshape)
+
+
+class _BNParams(nn.Module):
+    """Declares exactly the variables ``BN()`` would (scale/bias params,
+    float32 batch_stats) and applies flax's EMA update when given the batch
+    stats computed inside the fused kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None):
+        c = (self.features,)
+        scale = self.param("scale", nn.initializers.ones_init(), c)
+        bias = self.param("bias", nn.initializers.zeros_init(), c)
+        ra_mean = self.variable("batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), c)
+        ra_var = self.variable("batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), c)
+        if batch_mean is not None and not self.is_initializing():
+            ra_mean.value = _BN_MOMENTUM * ra_mean.value + (1 - _BN_MOMENTUM) * batch_mean
+            ra_var.value = _BN_MOMENTUM * ra_var.value + (1 - _BN_MOMENTUM) * batch_var
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Declares exactly the params an ``nn.Dense`` would."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (self.cin, self.cout))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.cout,))
+        return kernel, bias
+
+
+class _ResBlockParams(nn.Module):
+    """Parameter/stat declarations matching ``ResidualBlock``'s tree."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self, stats=None):
+        k_skip = _ConvParams((1, 1, self.cin, self.cout), name="skip_conv")()
+        skip_bn = _BNParams(self.cout, name="skip_bn")
+        k1 = _ConvParams((3, 3, self.cin, self.cout), name="conv1")()
+        bn1 = _BNParams(self.cout, name="bn1")
+        k2 = _ConvParams((3, 3, self.cout, self.cout), name="conv2")()
+        bn2 = _BNParams(self.cout, name="bn2")
+        if stats is None:
+            s1, b1 = bn1()
+            s2, b2 = bn2()
+            ss, bs = skip_bn()
+        else:
+            s1, b1 = bn1(*stats["bn1"])
+            s2, b2 = bn2(*stats["bn2"])
+            ss, bs = skip_bn(*stats["skip"])
+        kernels = {"conv1": k1, "conv2": k2, "skip": k_skip}
+        scales = {"bn1": s1, "bn2": s2, "skip": ss}
+        biases = {"bn1": b1, "bn2": b2, "skip": bs}
+        return kernels, scales, biases
 
 
 def _fold_frames(x):
@@ -97,6 +197,9 @@ class DeepResNetEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        b, t = x.shape[0], x.shape[1]
+        if not self.is_initializing() and _route_fused(b * t, train):
+            return self._fused(x)
         xf, b, t = _fold_frames(x)
         y = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="initial_conv")(xf)
         y = BN("bn1")(y, use_running_average=not train)
@@ -106,6 +209,52 @@ class DeepResNetEmbedding(nn.Module):
         y = jnp.mean(y, axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
         y = y.reshape(b, t, 128)
         return nn.Dense(self.embed_dim, name="fc")(y)
+
+    def _fused(self, x):
+        """Training forward through the whole-embedding Pallas kernel
+        (ops/fused_embedding.py) against the SAME variable tree the flax
+        path declares — an execution-layout change only, equivalence-pinned
+        by tests/test_fused_embedding.py."""
+        from moleculardiffusion_mivit_tpu.ops.fused_embedding import (
+            fused_deep_resnet_embed,
+        )
+
+        k_init = _ConvParams((3, 3, 1, 32), name="initial_conv")()
+        bn1 = _BNParams(32, name="bn1")
+        s0, b0 = bn1()
+        rb1 = _ResBlockParams(32, 64, name="res_block1")
+        rb2 = _ResBlockParams(64, 128, name="res_block2")
+        k1, s1, bi1 = rb1()
+        k2, s2, bi2 = rb2()
+        fc_kernel, fc_bias = _DenseParams(128, self.embed_dim, name="fc")()
+
+        kernels = {
+            "initial": k_init,
+            "rb1_conv1": k1["conv1"], "rb1_conv2": k1["conv2"], "rb1_skip": k1["skip"],
+            "rb2_conv1": k2["conv1"], "rb2_conv2": k2["conv2"], "rb2_skip": k2["skip"],
+        }
+        scales = {
+            "bn1": s0,
+            "rb1_bn1": s1["bn1"], "rb1_bn2": s1["bn2"], "rb1_skip": s1["skip"],
+            "rb2_bn1": s2["bn1"], "rb2_bn2": s2["bn2"], "rb2_skip": s2["skip"],
+        }
+        biases = {
+            "bn1": b0,
+            "rb1_bn1": bi1["bn1"], "rb1_bn2": bi1["bn2"], "rb1_skip": bi1["skip"],
+            "rb2_bn1": bi2["bn1"], "rb2_bn2": bi2["bn2"], "rb2_skip": bi2["skip"],
+        }
+        emb, bn_stats = fused_deep_resnet_embed(
+            x, kernels, scales, biases, fc_kernel, fc_bias
+        )
+        # EMA running-stat updates, exactly as flax BatchNorm applies them
+        bn1(*bn_stats["bn1"])
+        rb1(stats={
+            "bn1": bn_stats["rb1_bn1"], "bn2": bn_stats["rb1_bn2"], "skip": bn_stats["rb1_skip"],
+        })
+        rb2(stats={
+            "bn1": bn_stats["rb2_bn1"], "bn2": bn_stats["rb2_bn2"], "skip": bn_stats["rb2_skip"],
+        })
+        return emb
 
 
 EMBEDDING_REGISTRY = {
