@@ -3,10 +3,10 @@
 Times the DeepResNetEmbedding training forward and forward+backward through
 (a) the flax/XLA path (models/embeddings.py standard branch) and (b) the
 whole-embedding Pallas kernel (ops/fused_embedding.py), at a sweep of folded
-frame counts N = batch·frames. This is the measurement behind
-``ops.fused_embedding.FUSED_MAX_IMAGES`` (the regime gate that decides when
-``set_embedding_backend("auto")`` routes through the kernel) — re-run it if
-the kernel or the hardware changes.
+frame counts N = batch·frames. This measurement decides the
+``set_embedding_backend("auto")`` routing (currently: XLA everywhere — the
+kernel measured at parity, see the ops/fused_embedding.py docstring) —
+re-run it if the kernel or the hardware changes.
 
 Timing per CLAUDE.md: one compiled ``fori_loop`` per (impl, n_iters) with a
 data dependence that defeats hoisting; per-call cost is the slope between

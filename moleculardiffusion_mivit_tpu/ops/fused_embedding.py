@@ -3,14 +3,19 @@
 Why this exists (measured, results/conv_embedding_study): at batch 1 the
 DeepResNetEmbedding (models/embeddings.py, parity reference
 helpers/models.py:202-257) costs 72 µs fwd+bwd on TPU v5e as ~30 dependent
-sub-10 µs XLA ops whose per-op scheduling floors — not FLOPs — set the time
-(29% MXU). XLA cannot fuse across conv/BN boundaries at these shapes, so the
-only way down is ONE kernel that keeps every activation VMEM-resident and
-pays the dispatch/scheduling cost once for the forward and once for the
-backward. At batch ≥ 16 the same study showed XLA's conv lowering is within
-1.3× of its conv-time floor (the large convs run at 80-105% of bf16 peak),
-so the fused kernel is *regime-gated*: models/embeddings.py only routes here
-below ``FUSED_MAX_IMAGES`` folded frames (and never for eval).
+sub-10 µs XLA ops, which the conv study attributed to per-op scheduling
+floors (29% MXU). This kernel tested that attribution: ONE VMEM-resident
+program for the whole forward and one for the whole backward.
+
+**Measured verdict (TPU v5e, results/fused_embedding): PARITY, not a win** —
+fwd 34.5 µs vs XLA's 35.2, fwd+bwd 85.3 vs 83.9. The batch-1 time is NOT
+per-op dispatch overhead (XLA pipelines its ~30 ops essentially for free);
+it is the work itself: the same ~36 shift copies, mask multiplies, BN
+column-reductions and narrow-K GEMMs exist inside the kernel, on the same
+serial dependency chain. ``set_embedding_backend("auto")`` therefore keeps
+the XLA path; ``"fused"`` opts in (it is equivalence-pinned and never
+routes for eval). Kept as the measured answer to the conv study's open
+question and as the scaffold for any future in-kernel layout win.
 
 Design:
 
@@ -49,11 +54,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-# Regime gate: measured crossover between the fused kernel and XLA's conv
-# lowering, in folded frames N = batch·frames (see RESULTS.md round-4 fused
-# embedding study; re-measure with examples/fused_embedding_benchmark.py).
-FUSED_MAX_IMAGES = 128
 
 # Channel widths of the embedding trunk (helpers/models.py:202-257).
 C0, C1, C2 = 32, 64, 128
