@@ -34,11 +34,20 @@ _BN_MOMENTUM = 0.9
 # whole-embedding Pallas kernel (ops/fused_embedding.py; interpret-mode
 # off-TPU — used by the parity tests); "xla" keeps the flax/conv path;
 # "auto" picks the measured-faster path per regime. Measured on TPU v5e
-# (results/fused_embedding, RESULTS.md): the kernel runs at PARITY with
-# XLA's per-op lowering at the batch-1 bench shape (fwd 34.5 vs 35.2 µs,
-# fwd+bwd 85.3 vs 83.9) — XLA is already at the latency floor there — so
-# "auto" currently resolves to the XLA path everywhere.
+# (results/fused_embedding, RESULTS.md): the kernel LOSES ~2× to XLA's
+# per-op lowering at the batch-1 bench shape (fwd 36.4 vs 17.6 µs,
+# fwd+bwd 134 vs 66; two-loop slope, reproduced twice), and its
+# recompute-in-VMEM backward exceeds the 110 MB scoped-VMEM limit above
+# ~2432 padded rows (30 frames of 9×9 compile; 60 OOM at 118 MB) — so
+# "auto" resolves to the XLA path everywhere, and explicit "fused" falls
+# back (with a one-time warning) at row counts where the backward
+# measured uncompilable.
 _EMBEDDING_BACKEND = "auto"
+
+# Largest pad8(n_images·S²) row count at which the backward kernel is
+# measured to fit scoped VMEM on v5e (results/fused_embedding).
+FUSED_MAX_ROWS = 2432
+_FUSED_FALLBACK_WARNED = False
 
 
 def set_embedding_backend(backend: str) -> None:
@@ -48,10 +57,26 @@ def set_embedding_backend(backend: str) -> None:
     _EMBEDDING_BACKEND = backend
 
 
-def _route_fused(n_images: int, train: bool) -> bool:
+def _route_fused(n_rows: int, train: bool) -> bool:
     if _EMBEDDING_BACKEND == "xla" or not train:
         return False
-    return _EMBEDDING_BACKEND == "fused"
+    if _EMBEDDING_BACKEND != "fused":
+        return False
+    if n_rows > FUSED_MAX_ROWS:
+        global _FUSED_FALLBACK_WARNED
+        if not _FUSED_FALLBACK_WARNED:
+            _FUSED_FALLBACK_WARNED = True
+            import warnings
+
+            warnings.warn(
+                f"fused embedding backend: {n_rows} activation rows exceed "
+                f"the measured scoped-VMEM limit of the backward kernel "
+                f"({FUSED_MAX_ROWS} rows on TPU v5e, results/fused_embedding)"
+                " — falling back to the XLA path for this call",
+                stacklevel=3,
+            )
+        return False
+    return True
 
 
 class _ConvParams(nn.Module):
@@ -198,7 +223,9 @@ class DeepResNetEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t = x.shape[0], x.shape[1]
-        if not self.is_initializing() and _route_fused(b * t, train):
+        if not self.is_initializing() and _route_fused(
+            b * t * x.shape[2] * x.shape[3], train
+        ):
             return self._fused(x)
         xf, b, t = _fold_frames(x)
         y = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="initial_conv")(xf)

@@ -7,15 +7,22 @@ sub-10 µs XLA ops, which the conv study attributed to per-op scheduling
 floors (29% MXU). This kernel tested that attribution: ONE VMEM-resident
 program for the whole forward and one for the whole backward.
 
-**Measured verdict (TPU v5e, results/fused_embedding): PARITY, not a win** —
-fwd 34.5 µs vs XLA's 35.2, fwd+bwd 85.3 vs 83.9. The batch-1 time is NOT
-per-op dispatch overhead (XLA pipelines its ~30 ops essentially for free);
-it is the work itself: the same ~36 shift copies, mask multiplies, BN
-column-reductions and narrow-K GEMMs exist inside the kernel, on the same
-serial dependency chain. ``set_embedding_backend("auto")`` therefore keeps
-the XLA path; ``"fused"`` opts in (it is equivalence-pinned and never
-routes for eval). Kept as the measured answer to the conv study's open
-question and as the scaffold for any future in-kernel layout win.
+**Measured verdict (TPU v5e, results/fused_embedding): the kernel LOSES
+~2×** — at the batch-1 bench shape (30 frames of 9×9), fwd 36.4 µs vs
+XLA's 17.6, fwd+bwd 134 vs 66 (two-loop slope, reproduced in two
+independent sessions) — and the recompute-in-VMEM backward stops
+*compiling* above ~2432 padded rows (60 frames OOM the 110 MB scoped-VMEM
+limit at 118 MB). The batch-1 time is therefore NOT per-op dispatch
+overhead (XLA pipelines its ~30 ops essentially for free and schedules the
+serial chain better than this hand-fused program); it is the work itself:
+the same ~36 shift copies, mask multiplies, BN column-reductions and
+narrow-K GEMMs exist inside the kernel, on the same serial dependency
+chain, minus XLA's scheduling freedom. ``set_embedding_backend("auto")``
+therefore keeps the XLA path; ``"fused"`` opts in (equivalence-pinned,
+never routes for eval, and falls back with a warning above the measured
+VMEM row limit — ``models.embeddings.FUSED_MAX_ROWS``). Kept as the
+measured answer to the conv study's open question and as the scaffold for
+any future in-kernel layout win.
 
 Design:
 

@@ -177,6 +177,39 @@ def test_backend_eval_mode_never_routes_fused():
     np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_x))
 
 
+def test_backend_vmem_row_guard_falls_back_to_xla():
+    """Above FUSED_MAX_ROWS (the measured scoped-VMEM limit of the backward
+    kernel on v5e, results/fused_embedding) an explicit 'fused' backend must
+    warn once and take the XLA path bit-for-bit — the regime where the
+    kernel measured uncompilable is unreachable."""
+    x, mod, variables = _setup()
+    b, t, s = x.shape[0], x.shape[1], x.shape[2]
+    reps = emb_mod.FUSED_MAX_ROWS // (b * t * s * s) + 1
+    big = jnp.tile(x, (reps, 1, 1, 1))
+    assert big.shape[0] * t * s * s > emb_mod.FUSED_MAX_ROWS
+
+    emb_mod._FUSED_FALLBACK_WARNED = False
+    emb_mod.set_embedding_backend("fused")
+    with pytest.warns(UserWarning, match="scoped-VMEM"):
+        out_f, _ = mod.apply(variables, big, train=True, mutable=["batch_stats"])
+    # one-time: a second oversized call is silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        mod.apply(variables, big, train=True, mutable=["batch_stats"])
+    emb_mod.set_embedding_backend("xla")
+    out_x, _ = mod.apply(variables, big, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_x))
+
+    # under the limit the explicit backend still routes to the kernel
+    emb_mod.set_embedding_backend("fused")
+    out_small, _ = mod.apply(variables, x, train=True, mutable=["batch_stats"])
+    emb_mod.set_embedding_backend("xla")
+    out_small_x, _ = mod.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert np.abs(np.asarray(out_small) - np.asarray(out_small_x)).max() > 0
+
+
 def test_full_transformer_grads_match_through_fused_path():
     """End contract: GeneralTransformer(deep_resnet) loss + grads match
     between backends, including under the stacked-pair vmap layout
