@@ -1,5 +1,6 @@
 """Change-point detection with per-frame feature tokens (round 4, the
-second accuracy lever the verdict asked about).
+second accuracy lever the verdict asked about; round 5 adds the hybrid arm
+and proper binomial statistics).
 
 The curriculum and data-scale levers both left adjacent-class (ΔD=1)
 detection at zero (results/changepoint_{continuous,scaled}). This study
@@ -11,16 +12,28 @@ tokens give the model direct per-frame displacement evidence, the
 quantity a transition detector needs.
 
 Protocol mirrors examples/sequence_changepoint_demo.py exactly (4 discrete
-classes, tail-swap training augmentation, planted-transition evaluation at
-the pinned 64/class size, threshold calibrated to 5% FP on an independent
-constant-D split) — with the tail swap applied consistently to videos,
-per-frame labels AND per-frame feature tokens at the same splits. Two arms
-train on the SAME generated data so the comparison is internal:
-``mod_images`` (image tokens only — the architecture control) and
-``mod_both_concat`` (per-frame feature fusion).
+classes, tail-swap training augmentation, planted-transition evaluation,
+threshold calibrated to 5% FP on an independent constant-D split) — with
+the tail swap applied consistently to videos, per-frame labels AND
+per-frame feature tokens at the same splits. The arms train on the SAME
+generated data so the comparison is internal: ``mod_images`` (image tokens
+only — the architecture control), ``mod_both_concat`` (per-frame feature
+fusion), and with ``--with-hybrid`` the sequence-mode
+``HybridFusionTransformer`` (per-frame feature tokens + a global-feature
+reg token riding along as context) — does the global pathway help or cost
+per-frame change sensitivity? The hybrid's 25-dim global features are
+computed from the SPLICED frame-averaged trajectory (the evidence a global
+extractor would actually see on a transition sequence); its per-frame
+tokens are the same swapped tokens the modular arms see.
+
+Round-5 statistics: ``--eval-per-class`` scales the planted-transition
+evaluation (64 → hundreds of transitions per ΔD cell) and every detection
+rate carries a 95% Wilson binomial CI — the round-4 headline cells sat on
+n=20 per ΔD (verdict Weak #3).
 
 Run: python examples/sequence_changepoint_modular.py [--cycles 150]
-         [--seqs-per-d 256] [--out results/changepoint_modular]
+         [--seqs-per-d 256] [--eval-per-class 64] [--with-hybrid]
+         [--out results/changepoint_modular]
 """
 
 from __future__ import annotations
@@ -62,11 +75,36 @@ def mix_tails_multi(key, arrays, n_classes: int, n_frames: int):
     return tuple(arrays)
 
 
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial proportion (round 5: every
+    detection rate carries its CI — the round-4 cells sat on n=20)."""
+    if n == 0:
+        return None
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+    return [round(center - half, 3), round(center + half, 3)]
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cycles", type=int, default=150)
     ap.add_argument("--seed", type=int, default=0, help="training/init key (the planted-transition eval set stays on its own held-out key)")
     ap.add_argument("--seqs-per-d", type=int, default=256)
+    ap.add_argument(
+        "--eval-per-class",
+        type=int,
+        default=64,
+        help="planted-transition evaluation size per D class (the round-4 "
+        "studies pinned 64 — n=20 per ΔD cell; use ≥320 for ≥100/cell)",
+    )
+    ap.add_argument(
+        "--with-hybrid",
+        action="store_true",
+        help="add the sequence-mode HybridFusionTransformer arm (per-frame "
+        "feature tokens + global-feature reg token)",
+    )
     ap.add_argument(
         "--continuous",
         type=str,
@@ -112,10 +150,12 @@ def main():
     part_mean = optics.particle_intensity[0]
 
     def generate(key, seqs_per_d: int, mix: bool):
-        """Videos + per-frame labels + per-frame feature tokens, tails
-        swapped consistently across all three when ``mix``."""
+        """Videos + per-frame labels + per-frame feature tokens + the
+        frame-averaged trajectory, tails swapped consistently across all
+        four when ``mix`` (the avg trajectory splices at the same splits,
+        so global features computed from it see the transition evidence)."""
         k_mix = jax.random.fold_in(key, 999)
-        videos, labels, pf = [], [], []
+        videos, labels, pf, avgs = [], [], [], []
         for i, ds in enumerate(train_cfg.training_ds):
             k_sim, k_render = jax.random.split(jax.random.fold_in(key, i))
             trajs, labs = single_state(k_sim, seqs_per_d, f * p, Ds=tuple(ds))
@@ -124,17 +164,19 @@ def main():
             v, _ = normalize_images(v, bg_mean, bg_sigma, part_mean + bg_mean)
             videos.append(v)
             avg = average_trajectories_frames(trajs, p)
+            avgs.append(avg)
             pf.append(compute_per_frame_features(avg))
             y = labs[:, :, 1].reshape(seqs_per_d, f, p).mean(axis=2)
             labels.append(y / train_cfg.d_max_normalization)
         videos = jnp.concatenate(videos)
         labels = jnp.concatenate(labels)
         pf = jnp.concatenate(pf)
+        avgs = jnp.concatenate(avgs)
         if mix:
-            videos, labels, pf = mix_tails_multi(
-                k_mix, (videos, labels, pf), n_classes, f
+            videos, labels, pf, avgs = mix_tails_multi(
+                k_mix, (videos, labels, pf, avgs), n_classes, f
             )
-        return videos, labels, pf
+        return videos, labels, pf, avgs
 
     continuous = None
     if args.continuous:
@@ -145,7 +187,8 @@ def main():
         def generate_train(key, seqs_per_d: int):
             """Continuous curriculum: D ~ U(lo, hi) per sequence, i↔(n-1-i)
             partner tail-mixing (mix_tails_uniform's scheme) applied to
-            videos, labels and feature tokens at the same splits."""
+            videos, labels, feature tokens and the avg trajectory at the
+            same splits."""
             n_total = seqs_per_d * n_classes
             kd, kt, kr, k_mix = jax.random.split(key, 4)
             d = jax.random.uniform(kd, (n_total,), minval=lo, maxval=hi)
@@ -161,14 +204,14 @@ def main():
                 (d / train_cfg.d_max_normalization)[:, None], (n_total, f)
             ).astype(jnp.float32)
             # mix_tails_uniform's pairing (i <-> n-1-i, half the sequences),
-            # extended to 3 arrays at shared splits
+            # extended to 4 arrays at shared splits
             half = (n_total // 2) // 2
             ia = jnp.arange(half)
             ib = (n_total - 1) - ia
             splits = jax.random.randint(k_mix, (half,), f // 2 - 5, f // 2 + 5)
             base = jnp.arange(f)[None, :] >= splits[:, None]
             out = []
-            for arr in (v, labels, pfx):
+            for arr in (v, labels, pfx, avg):
                 mask = base.reshape(base.shape + (1,) * (arr.ndim - 2))
                 a, bb = arr[ia], arr[ib]
                 arr = arr.at[ia].set(jnp.where(mask, bb, a))
@@ -190,43 +233,100 @@ def main():
             fusion_method="concat_proj",
         )
 
-    arms = {"mod_images": modular("images_only"), "mod_both_concat": modular("both")}
+    from moleculardiffusion_mivit_tpu.features import (
+        compute_features_for_multiple_trajectories,
+    )
+
+    def pack_hybrid(pf, avg):
+        """HybridFusionTransformer packing (experiments.modular.make_dataset):
+        per-frame tokens flattened + the 25-dim global features of the
+        (possibly spliced) frame-averaged trajectory."""
+        gf = compute_features_for_multiple_trajectories(avg, dt=1.0)
+        return jnp.concatenate([pf.reshape(pf.shape[0], -1), gf], axis=-1)
+
+    # name -> (model, feature kind): "pf" = per-frame tokens, "packed" =
+    # the hybrid's pf+global packing
+    arms = {
+        "mod_images": (modular("images_only"), "pf"),
+        "mod_both_concat": (modular("both"), "pf"),
+    }
+    if args.with_hybrid:
+        from moleculardiffusion_mivit_tpu.models import HybridFusionTransformer
+
+        arms["mod_hybrid"] = (
+            HybridFusionTransformer(
+                model_cfg,
+                image_embedding="deep_resnet",
+                per_frame_dim=N_PER_FRAME_FEATURES,
+                global_dim=25,
+                fusion_method="concat_proj",
+            ),
+            "packed",
+        )
     key = jax.random.key(args.seed)
-    ex_videos, _, ex_pf = generate(jax.random.fold_in(key, 0), 4, mix=False)
+    ex_videos, _, ex_pf, ex_avg = generate(jax.random.fold_in(key, 0), 4, mix=False)
+    ex_feats = {"pf": ex_pf, "packed": pack_hybrid(ex_pf, ex_avg)}
 
     import time
 
-    states, fns = {}, {}
-    for i, (name, model) in enumerate(arms.items()):
+    states, fns, featkind = {}, {}, {}
+    for i, (name, (model, kind)) in enumerate(arms.items()):
         init_state, train_cycle, evaluate = make_train_fns(
             model, train_cfg, with_features=True
         )
         fns[name] = (train_cycle, evaluate)
-        states[name] = init_state(jax.random.fold_in(key, i), ex_videos[:1], ex_pf[:1])
+        featkind[name] = kind
+        states[name] = init_state(
+            jax.random.fold_in(key, i), ex_videos[:1], ex_feats[kind][:1]
+        )
 
+    need_packed = any(k == "packed" for k in featkind.values())
     t0 = time.time()
     for c in range(args.cycles):
         k_c = jax.random.fold_in(key, 10 + c)
-        videos, labels, pf = generate_train(k_c, args.seqs_per_d)
+        videos, labels, pf, avg = generate_train(k_c, args.seqs_per_d)
+        feats = {"pf": pf}
+        if need_packed:
+            feats["packed"] = pack_hybrid(pf, avg)
         lr = jnp.float32(train_cfg.lr_for_cycle(c))
         bs = train_cfg.batch_size_for_cycle(c)
         for j, name in enumerate(arms):
             states[name], loss = fns[name][0](
-                states[name], videos, labels, pf,
+                states[name], videos, labels, feats[featkind[name]],
                 jax.random.fold_in(k_c, 100 + j), lr, bs,
             )
         if (c + 1) % 25 == 0:
             print(f"cycle {c+1}/{args.cycles} loss {float(loss):.5f}", flush=True)
     print(f"trained in {time.time()-t0:.0f}s", flush=True)
 
-    # -- planted-transition evaluation (demo protocol: held-out key, pinned
-    # 64/class size, independent calibration split) -----------------------
+    # -- planted-transition evaluation (demo protocol: held-out key,
+    # --eval-per-class size, independent calibration split) ----------------
+    E = args.eval_per_class
     k_eval = jax.random.key(777)
-    videos, labels, pf = generate(k_eval, 64, mix=False)
-    mixed_v, mixed_l, mixed_pf = mix_tails_multi(
-        jax.random.fold_in(k_eval, 1), (videos, labels, pf), n_classes, f
+    videos, labels, pf, avg = generate(k_eval, E, mix=False)
+    mixed_v, mixed_l, mixed_pf, mixed_avg = mix_tails_multi(
+        jax.random.fold_in(k_eval, 1), (videos, labels, pf, avg), n_classes, f
     )
-    cal_v, _, cal_pf = generate(jax.random.fold_in(k_eval, 2), 64, mix=False)
+    cal_v, _, cal_pf, cal_avg = generate(jax.random.fold_in(k_eval, 2), E, mix=False)
+    eval_feats = {
+        "pf": (mixed_pf, pf, cal_pf),
+    }
+    if need_packed:
+        eval_feats["packed"] = (
+            pack_hybrid(mixed_pf, mixed_avg),
+            pack_hybrid(pf, avg),
+            pack_hybrid(cal_pf, cal_avg),
+        )
+
+    def eval_chunked(evaluate, state, v, fe, chunk=256):
+        """Grid-arm rule (CLAUDE.md): large eval batches stay chunked — the
+        deep-resnet activations of thousands of 30-frame sequences OOM."""
+        return np.concatenate(
+            [
+                np.asarray(evaluate(state, v[i : i + chunk], fe[i : i + chunk]))
+                for i in range(0, v.shape[0], chunk)
+            ]
+        )
 
     ml = np.asarray(mixed_l) * train_cfg.d_max_normalization
     changed = ml != ml[:, :1]
@@ -235,13 +335,15 @@ def main():
     contrast = np.abs(ml[:, -1] - ml[:, 0])
 
     report = {"cycles": args.cycles, "seqs_per_d": args.seqs_per_d, "seed": args.seed,
+              "eval_per_class": E,
               "curriculum": f"continuous U{continuous}" if continuous else "discrete 4-class",
               "n_mixed": int(has_transition.sum()), "n_controls": int(videos.shape[0])}
     for name in arms:
         evaluate = fns[name][1]
-        pm = np.asarray(evaluate(states[name], mixed_v, mixed_pf)).squeeze(-1)
-        pc = np.asarray(evaluate(states[name], videos, pf)).squeeze(-1)
-        pcal = np.asarray(evaluate(states[name], cal_v, cal_pf)).squeeze(-1)
+        fm, fc, fcal = eval_feats[featkind[name]]
+        pm = eval_chunked(evaluate, states[name], mixed_v, fm).squeeze(-1)
+        pc = eval_chunked(evaluate, states[name], videos, fc).squeeze(-1)
+        pcal = eval_chunked(evaluate, states[name], cal_v, fcal).squeeze(-1)
         split_m, score_m = map(np.asarray, detect_change_points(jnp.asarray(pm)))
         _, score_c = detect_change_points(jnp.asarray(pc))
         _, score_cal = detect_change_points(jnp.asarray(pcal))
@@ -255,14 +357,23 @@ def main():
         by_contrast = {}
         for dd in sorted(set(np.round(contrast[has_transition]).astype(int))):
             sel = has_transition & (np.round(contrast).astype(int) == dd)
+            k_det, n_det = int((score_m[sel] > thr).sum()), int(sel.sum())
             by_contrast[f"dD={dd}"] = {
-                "n": int(sel.sum()),
-                "detection_rate": round(float((score_m[sel] > thr).mean()), 3),
+                "n": n_det,
+                "detected": k_det,
+                "detection_rate": round(k_det / n_det, 3) if n_det else None,
+                "ci95": wilson_ci(k_det, n_det),
             }
+        n_t = int(has_transition.sum())
+        k_t = int((sm > thr).sum())
+        n_c = len(score_c)
+        k_fp = int((score_c > thr).sum())
         report[name] = {
             "roc_auc": round(auc, 3),
-            "detection_rate": round(float((sm > thr).mean()), 3),
-            "false_positive_rate": round(float((score_c > thr).mean()), 3),
+            "detection_rate": round(k_t / n_t, 3),
+            "detection_ci95": wilson_ci(k_t, n_t),
+            "false_positive_rate": round(k_fp / n_c, 3),
+            "false_positive_ci95": wilson_ci(k_fp, n_c),
             "median_split_error_frames": float(np.median(loc)) if len(loc) else None,
             "by_contrast": by_contrast,
         }

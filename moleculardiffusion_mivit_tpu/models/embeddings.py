@@ -47,7 +47,10 @@ _EMBEDDING_BACKEND = "auto"
 # Largest pad8(n_images·S²) row count at which the backward kernel is
 # measured to fit scoped VMEM on v5e (results/fused_embedding).
 FUSED_MAX_ROWS = 2432
-_FUSED_FALLBACK_WARNED = False
+# Row counts already warned about (one warning per distinct oversize, so a
+# user switching shapes — or backends and back — still hears about each new
+# silent fallback; reset by set_embedding_backend).
+_FUSED_FALLBACK_WARNED_ROWS = set()
 
 
 def set_embedding_backend(backend: str) -> None:
@@ -55,6 +58,7 @@ def set_embedding_backend(backend: str) -> None:
     if backend not in ("auto", "fused", "xla"):
         raise ValueError(f"unknown embedding backend {backend!r}")
     _EMBEDDING_BACKEND = backend
+    _FUSED_FALLBACK_WARNED_ROWS.clear()
 
 
 def _route_fused(n_rows: int, train: bool) -> bool:
@@ -63,9 +67,8 @@ def _route_fused(n_rows: int, train: bool) -> bool:
     if _EMBEDDING_BACKEND != "fused":
         return False
     if n_rows > FUSED_MAX_ROWS:
-        global _FUSED_FALLBACK_WARNED
-        if not _FUSED_FALLBACK_WARNED:
-            _FUSED_FALLBACK_WARNED = True
+        if n_rows not in _FUSED_FALLBACK_WARNED_ROWS:
+            _FUSED_FALLBACK_WARNED_ROWS.add(n_rows)
             import warnings
 
             warnings.warn(

@@ -187,7 +187,15 @@ class HybridFusionTransformer(nn.Module):
             name="transformer",
         )(x, deterministic=not train)
 
-        out = x[:, 0, :]
+        if cfg.single_prediction:
+            out = x[:, 0, :]
+        else:
+            # sequence mode (round 5, changepoint study): per-frame
+            # predictions from the frame tokens; the global-feature reg
+            # token participates in attention as context but emits no
+            # prediction — so the detection study can ask whether the
+            # global pathway helps or costs per-frame change sensitivity
+            out = x[:, 1:, :]
         return MLPHead(self.head_hidden_dim, name="mlp_head")(out, deterministic=not train)
 
 

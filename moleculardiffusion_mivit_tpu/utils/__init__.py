@@ -1,3 +1,4 @@
+from moleculardiffusion_mivit_tpu.utils.aot_cache import cached_compile  # noqa: F401
 from moleculardiffusion_mivit_tpu.utils.checkpoint import (  # noqa: F401
     restore_experiment,
     restore_pytree,
@@ -7,6 +8,7 @@ from moleculardiffusion_mivit_tpu.utils.checkpoint import (  # noqa: F401
 from moleculardiffusion_mivit_tpu.utils.flops import (  # noqa: F401
     compiled_flops,
     device_peak_flops,
+    grid_cycle_flops,
     multi_cycle_flops,
     utilization,
 )

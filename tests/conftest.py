@@ -28,6 +28,31 @@ assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() == 8
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full",
+        action="store_true",
+        default=False,
+        help="run the FULL profile including @pytest.mark.slow compile-bound "
+        "tests (~45 min on the 1-core host; the default fast profile keeps "
+        "every module covered in < 10 min — see tests/TIMINGS.md)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default = fast profile: tests marked ``slow`` (the compile-bound
+    scan-unroll/virtual-mesh equivalence cases that dominate the ~45-min
+    full wall time) are skipped unless ``--full`` or an explicit ``-m``
+    selection is given. Every module keeps unmarked coverage, so the fast
+    profile still touches the whole package."""
+    if config.getoption("--full") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow (compile-bound); run with --full")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture()
 def rng():
     # function-scoped: every test sees the same deterministic stream

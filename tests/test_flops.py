@@ -61,3 +61,27 @@ def test_multi_cycle_flops_scan_immune():
     # total model fwd+bwd work is identical; batch 1 pays 32 optimizer
     # updates + gathers instead of 2, so f1 >= f16 but nowhere near 16x
     assert f16 <= f1 <= 3 * f16
+
+
+def test_grid_cycle_flops_scales_with_models():
+    """The vmapped-grid accounting (round 5, the 60-model PSFNoise regime):
+    positive, ~linear in the model count (the stacked step is the same
+    per-model work vmapped), and immune to the scan-body undercount by the
+    same per-step × steps construction."""
+    from moleculardiffusion_mivit_tpu.config import ModelConfig, TrainConfig
+    from moleculardiffusion_mivit_tpu.models import GeneralTransformer
+    from moleculardiffusion_mivit_tpu.utils import grid_cycle_flops
+
+    cfg = TrainConfig(
+        sequences_per_d=16, training_ds=((1, 1), (5, 1)), n_frames=10, n_pos_per_frame=5
+    )
+    mc = ModelConfig(patch_size=9, embed_dim=32, num_heads=4, hidden_dim=64, num_layers=2)
+    model = GeneralTransformer(mc, embedding="linear")
+    f4 = grid_cycle_flops(model, cfg, 4, 32, 8, (9, 9), val_shape=(4, 8, 10, 9, 9))
+    f8 = grid_cycle_flops(model, cfg, 8, 32, 8, (9, 9), val_shape=(8, 8, 10, 9, 9))
+    assert f4 and f8
+    assert 1.8 * f4 <= f8 <= 2.2 * f4
+    # step count × per-step: batch 8 → 4 steps vs batch 32 → 1 step of 4×
+    # the work — totals agree within optimizer-overhead slack
+    f_b32 = grid_cycle_flops(model, cfg, 4, 32, 32, (9, 9), val_shape=(4, 8, 10, 9, 9))
+    assert f_b32 and f_b32 <= f4 <= 3 * f_b32

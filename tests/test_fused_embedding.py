@@ -188,26 +188,50 @@ def test_backend_vmem_row_guard_falls_back_to_xla():
     big = jnp.tile(x, (reps, 1, 1, 1))
     assert big.shape[0] * t * s * s > emb_mod.FUSED_MAX_ROWS
 
-    emb_mod._FUSED_FALLBACK_WARNED = False
-    emb_mod.set_embedding_backend("fused")
+    emb_mod.set_embedding_backend("fused")  # also resets the warned-rows set
     with pytest.warns(UserWarning, match="scoped-VMEM"):
         out_f, _ = mod.apply(variables, big, train=True, mutable=["batch_stats"])
-    # one-time: a second oversized call is silent
+    # once per row count: a second same-shape oversized call is silent
     import warnings as _w
 
-    with _w.catch_warnings():
-        _w.simplefilter("error")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
         mod.apply(variables, big, train=True, mutable=["batch_stats"])
+    assert not [w for w in caught if "scoped-VMEM" in str(w.message)]
+    # ... but a DIFFERENT oversized row count warns again (advisor round 4:
+    # the old process-global flag silently swallowed every later oversize)
+    bigger = jnp.tile(x, (reps + 1, 1, 1, 1))
+    with pytest.warns(UserWarning, match="scoped-VMEM"):
+        mod.apply(variables, bigger, train=True, mutable=["batch_stats"])
     emb_mod.set_embedding_backend("xla")
     out_x, _ = mod.apply(variables, big, train=True, mutable=["batch_stats"])
     np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_x))
 
-    # under the limit the explicit backend still routes to the kernel
-    emb_mod.set_embedding_backend("fused")
-    out_small, _ = mod.apply(variables, x, train=True, mutable=["batch_stats"])
-    emb_mod.set_embedding_backend("xla")
-    out_small_x, _ = mod.apply(variables, x, train=True, mutable=["batch_stats"])
-    assert np.abs(np.asarray(out_small) - np.asarray(out_small_x)).max() > 0
+    # under the limit the explicit backend still routes to the kernel:
+    # assert routing DIRECTLY via a call-counting wrapper around the kernel
+    # entry point (advisor round 4: float non-equality was a brittle proxy)
+    from moleculardiffusion_mivit_tpu.ops import fused_embedding as fe_mod
+
+    calls = []
+    real = fe_mod.fused_deep_resnet_embed
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    fe_mod.fused_deep_resnet_embed = counting
+    try:
+        emb_mod.set_embedding_backend("fused")
+        mod.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert len(calls) == 1, "in-limit call must route to the fused kernel"
+        mod.apply(variables, big, train=True, mutable=["batch_stats"])
+        assert len(calls) == 1, "oversized call must NOT route to the kernel"
+        emb_mod.set_embedding_backend("xla")
+        mod.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert len(calls) == 1, "xla backend must never route to the kernel"
+    finally:
+        fe_mod.fused_deep_resnet_embed = real
+        emb_mod.set_embedding_backend("auto")
 
 
 def test_full_transformer_grads_match_through_fused_path():

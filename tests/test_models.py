@@ -220,3 +220,23 @@ def test_hybrid_fusion_transformer(videos):
     with pytest.raises(ValueError, match="packed features"):
         model = HybridFusionTransformer(CFG, per_frame_dim=n_pf, global_dim=n_g)
         init_model(model, jax.random.key(3), videos, packed[:, :-1])
+
+
+def test_hybrid_sequence_mode_per_frame_predictions(videos):
+    """single_prediction=False (round 5): one prediction per FRAME token —
+    the reg token rides along as global context but emits none — so the
+    hybrid enters the changepoint detection study."""
+    from moleculardiffusion_mivit_tpu.models import HybridFusionTransformer
+
+    n_pf, n_g = 6, 25
+    packed = jax.random.normal(jax.random.key(2), (B, T * n_pf + n_g))
+    cfg = CFG.replace(single_prediction=False, use_pos_encoding=True)
+    model = HybridFusionTransformer(cfg, per_frame_dim=n_pf, global_dim=n_g)
+    params, bstats = init_model(model, jax.random.key(3), videos, packed)
+    out, _ = apply_model(model, params, bstats, videos, packed)
+    assert out.shape == (B, T, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # the global features really reach every per-frame prediction
+    packed2 = packed.at[:, -n_g:].add(1.0)
+    out2, _ = apply_model(model, params, bstats, videos, packed2)
+    assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-6
