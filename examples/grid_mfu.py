@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--batch-sizes", default="16,64")
     ap.add_argument("--trace-dir", default="/tmp/grid_mfu_trace")
     ap.add_argument("--skip-lever", action="store_true")
+    ap.add_argument("--lever-only", action="store_true",
+                    help="run only the conv layout A/B and merge it into an "
+                    "existing report (the MFU rows cost ~25 min of chip time)")
     ap.add_argument("--out", default="results/grid_mfu")
     args = ap.parse_args()
 
@@ -73,8 +76,25 @@ def main():
     )
 
     batch_sizes = [int(b) for b in args.batch_sizes.split(",")]
+    os.makedirs(args.out, exist_ok=True)
+    report_path = os.path.join(args.out, "grid_mfu.json")
     report = {"seqs_per_d": args.seqs_per_d, "device": str(jax.devices()[0]),
               "cycles": args.cycles, "rows": {}}
+
+    def save():
+        # incremental: a crash in a later phase must not lose measured rows
+        with open(report_path, "w") as fh:
+            json.dump(report, fh, indent=2)
+
+    if args.lever_only:
+        if os.path.exists(report_path):
+            with open(report_path) as fh:
+                report = json.load(fh)
+        report["conv_lever"] = conv_layout_ab(cycles=400)
+        print("conv lever:", json.dumps(report["conv_lever"], indent=1), flush=True)
+        save()
+        print(f"report -> {report_path}")
+        return
 
     checksum = jax.jit(
         lambda states: sum(
@@ -149,6 +169,7 @@ def main():
             }
             report["rows"][f"{dtype}/b{bs}"] = row
             print(f"[{dtype}/b{bs}] {json.dumps(row)}", flush=True)
+            save()
 
             if not traced and dtype == "float32" and bs == batch_sizes[-1]:
                 traced = True
@@ -160,78 +181,89 @@ def main():
                 report["trace_f32_last_batch"] = parse_xplane(args.trace_dir)
                 print("trace:", json.dumps(report["trace_f32_last_batch"], indent=1),
                       flush=True)
+                save()
 
     if not args.skip_lever:
         report["conv_lever"] = conv_layout_ab(cycles=400)
         print("conv lever:", json.dumps(report["conv_lever"], indent=1), flush=True)
-
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "grid_mfu.json"), "w") as fh:
-        json.dump(report, fh, indent=2)
-    print(f"report -> {args.out}/grid_mfu.json")
+        save()
+    print(f"report -> {report_path}")
 
 
-def conv_layout_ab(m=30, n=480, cycles=400):
+def conv_layout_ab(m=30, cycles=400):
     """Per-shape A/B: vmapped (grouped-conv-lowered) per-model 3x3 conv vs
     the SAME math as an im2col batched GEMM over the model axis.
 
     Shapes are the DeepResNetEmbedding's conv stack at grid batch
-    (M=30 models, N=batch·frames activations of 9x9). Two loop lengths →
-    per-call slope (subtracts the ~27 ms dispatch floor, CLAUDE.md)."""
-    import numpy as np
-
+    (M=30 models, N=batch*frames activations of 9x9; N shrinks with channel
+    count to keep the im2col patch tensor inside HBM -- the first attempt
+    materialized a 38 GB patch copy at cin=128 and OOM'd, itself a bound on
+    the lever: the GEMM layout pays a 9x activation blow-up the conv
+    lowering never stores). Two loop lengths -> per-call slope (subtracts
+    the ~27 ms dispatch floor, CLAUDE.md)."""
     key = jax.random.key(0)
     out = {}
-    for cin, cout in ((1, 32), (32, 64), (64, 128), (128, 128)):
-        x = jax.random.normal(key, (m, n, 9, 9, cin), jnp.float32)
-        k = jax.random.normal(key, (m, 3, 3, cin, cout), jnp.float32) * 0.1
+    for cin, cout, n in ((1, 32, 480), (32, 64, 480), (64, 128, 240), (128, 128, 120)):
+        try:
+            out[f"{cin}->{cout} (n={n})"] = _ab_one_shape(m, n, cin, cout, cycles, key)
+        except Exception as e:  # e.g. patch-tensor OOM: record, keep going
+            out[f"{cin}->{cout} (n={n})"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
 
-        @jax.jit
-        def conv_vmapped(x, k):
-            def one(xm, km):
-                return jax.lax.conv_general_dilated(
-                    xm, km, (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-            return jax.vmap(one)(x, k)
 
-        @jax.jit
-        def conv_im2col(x, k):
-            # patches: (M·N, 9, 9, 3·3·cin) -> batched GEMM over M
-            xm = x.reshape(m * n, 9, 9, cin)
-            p = jax.lax.conv_general_dilated_patches(
-                xm, (3, 3), (1, 1), [(1, 1), (1, 1)],
+def _ab_one_shape(m, n, cin, cout, cycles, key):
+    import numpy as np
+
+    x = jax.random.normal(key, (m, n, 9, 9, cin), jnp.float32)
+    k = jax.random.normal(key, (m, 3, 3, cin, cout), jnp.float32) * 0.1
+
+    @jax.jit
+    def conv_vmapped(x, k):
+        def one(xm, km):
+            return jax.lax.conv_general_dilated(
+                xm, km, (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            p = p.reshape(m, n * 81, 3 * 3 * cin)
-            # patches order is (cin, kh, kw); align the kernel to match
-            km = jnp.transpose(k, (0, 3, 1, 2, 4)).reshape(m, 3 * 3 * cin, cout)
-            y = jnp.einsum("mpk,mko->mpo", p, km)
-            return y.reshape(m, n, 9, 9, cout)
 
-        ref = np.asarray(conv_vmapped(x, k))
-        got = np.asarray(conv_im2col(x, k))
-        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+        return jax.vmap(one)(x, k)
 
-        def slope_us(fn):
-            def loop(iters):
+    @jax.jit
+    def conv_im2col(x, k):
+        # patches: (M*N, 9, 9, 3*3*cin) -> batched GEMM over M
+        xm = x.reshape(m * n, 9, 9, cin)
+        p = jax.lax.conv_general_dilated_patches(
+            xm, (3, 3), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        p = p.reshape(m, n * 81, 3 * 3 * cin)
+        # patches order is (cin, kh, kw); align the kernel to match
+        km = jnp.transpose(k, (0, 3, 1, 2, 4)).reshape(m, 3 * 3 * cin, cout)
+        y = jnp.einsum("mpk,mko->mpo", p, km)
+        return y.reshape(m, n, 9, 9, cout)
+
+    ref = np.asarray(conv_vmapped(x, k))
+    got = np.asarray(conv_im2col(x, k))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+    def slope_us(fn):
+        def loop(iters):
+            y = fn(x, k)
+            jax.block_until_ready(y)
+            t0 = time.perf_counter()
+            for _ in range(iters):
                 y = fn(x, k)
-                jax.block_until_ready(y)
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    y = fn(x, k)
-                float(jnp.sum(y))  # host fetch = reliable sync (CLAUDE.md)
-                return time.perf_counter() - t0
-            t1, t2 = loop(cycles), loop(4 * cycles)
-            return (t2 - t1) / (3 * cycles) * 1e6
+            float(jnp.sum(y))  # host fetch = reliable sync (CLAUDE.md)
+            return time.perf_counter() - t0
 
-        v_us, g_us = slope_us(conv_vmapped), slope_us(conv_im2col)
-        out[f"{cin}->{cout}"] = {
-            "vmapped_conv_us": round(v_us, 1),
-            "im2col_batched_gemm_us": round(g_us, 1),
-            "speedup": round(v_us / g_us, 2) if g_us > 0 else None,
-        }
-    return out
+        t1, t2 = loop(cycles), loop(4 * cycles)
+        return (t2 - t1) / (3 * cycles) * 1e6
+
+    v_us, g_us = slope_us(conv_vmapped), slope_us(conv_im2col)
+    return {
+        "vmapped_conv_us": round(v_us, 1),
+        "im2col_batched_gemm_us": round(g_us, 1),
+        "speedup": round(v_us / g_us, 2) if g_us > 0 else None,
+    }
 
 
 if __name__ == "__main__":

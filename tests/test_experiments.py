@@ -34,6 +34,7 @@ def test_baseline_experiment_smoke():
     _assert_ran(exp, expected, 1)
 
 
+@pytest.mark.slow
 def test_baseline_sequence_mode_smoke():
     exp = get_experiment(
         "baseline", sequences_per_d=8, val_length=12, sequences=True, try_leaky_relu=False
@@ -41,6 +42,7 @@ def test_baseline_sequence_mode_smoke():
     _assert_ran(exp, {"linear_2layer_s", "cnn_2layer_s", "deepcnn_2layer_s", "resnet"}, 1)
 
 
+@pytest.mark.slow
 def test_psfnoise_experiment_smoke():
     exp = get_experiment(
         "psfnoise",
@@ -54,6 +56,7 @@ def test_psfnoise_experiment_smoke():
     _assert_ran(exp, expected, 1)
 
 
+@pytest.mark.slow
 def test_framerate_experiment_smoke():
     exp = get_experiment(
         "framerate", sequences_per_d=8, val_length=6, rates=(5, 10), val_d_values=(1.0, 5.0)
@@ -61,6 +64,7 @@ def test_framerate_experiment_smoke():
     _assert_ran(exp, {"tr_0", "res_0", "tr_1", "res_1"}, 1)
 
 
+@pytest.mark.slow
 def test_embeddings_experiment_smoke_and_param_counts():
     from moleculardiffusion_mivit_tpu.experiments.embeddings import param_counts
 
@@ -73,6 +77,7 @@ def test_embeddings_experiment_smoke_and_param_counts():
     _assert_ran(exp, set(counts), 1)
 
 
+@pytest.mark.slow
 def test_images_features_experiment_smoke():
     exp = get_experiment(
         "images_features", sequences_per_d=8, val_length=6, val_d_values=(1.0, 5.0)
@@ -95,6 +100,7 @@ def test_images_features_experiment_smoke():
     assert h["val_5"][-1] < 6.0  # rough calibration sanity
 
 
+@pytest.mark.slow
 def test_denoising_experiment_smoke():
     exp = get_experiment(
         "denoising", sequences_per_d=8, val_length=6, val_d_values=(1.0, 5.0)
@@ -137,6 +143,7 @@ def test_experiment_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_continues_schedule(tmp_path):
     """Save at cycle k, restore, continue with start_cycle — history grows
     and the schedule index advances (batch/LR follow the global cycle)."""
@@ -155,6 +162,7 @@ def test_resume_continues_schedule(tmp_path):
     assert len(exp2.history["resnet"]["val_avg"]) == 3
 
 
+@pytest.mark.slow
 def test_modular_experiment_smoke():
     """The ModularTransformer regime (models.py:366-593 — the reference built
     it but never trained it): all five mode × fusion arms train and
@@ -173,6 +181,7 @@ def test_modular_experiment_smoke():
     )
 
 
+@pytest.mark.slow
 def test_images_features_in_order_predictions_and_tables():
     """The reconciled in-order sweep: 100 D values (0.1..10.0), per-model
     (n_d, n_particles) predictions in physical units, and error tables
@@ -252,6 +261,7 @@ def test_per_frame_features_causal_and_shaped():
     assert (np.asarray(f[:, -1, 3]) > 0).all()
 
 
+@pytest.mark.slow
 def test_fused_merged_scan_matches_unmerged():
     """Inside the SAME fused one-program-per-cycle structure, merging all
     arms' epochs into one ``lax.scan`` must reproduce the one-scan-per-arm
@@ -346,6 +356,7 @@ def test_grid_train_step_matches_train_cycle():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_precompile_schedule_preserves_results():
     """Speculative background compilation of future batch regimes
     (Experiment._start_precompile) must not change training: histories match
@@ -380,6 +391,7 @@ def test_precompile_schedule_preserves_results():
         )
 
 
+@pytest.mark.slow
 def test_experiment_stack_pairs_matches_unstacked():
     """``Experiment.stack_pairs`` is an execution-layout change inside the
     fused cycle only: the baseline's 3 relu/leaky pairs train as vmapped
@@ -425,6 +437,7 @@ def test_experiment_stack_pairs_matches_unstacked():
         )
 
 
+@pytest.mark.slow
 def test_psfnoise_reconciled_in_order_suite():
     """PSFNoise also scores on the reconciled 100-value sweep: the
     reference's own loader reshapes the in-order render to

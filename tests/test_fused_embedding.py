@@ -234,6 +234,7 @@ def test_backend_vmem_row_guard_falls_back_to_xla():
         emb_mod.set_embedding_backend("auto")
 
 
+@pytest.mark.slow
 def test_full_transformer_grads_match_through_fused_path():
     """End contract: GeneralTransformer(deep_resnet) loss + grads match
     between backends, including under the stacked-pair vmap layout

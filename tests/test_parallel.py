@@ -1,4 +1,6 @@
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -34,6 +36,7 @@ def test_mesh_construction():
     assert mesh.shape == {"data": 2, "model": 4}
 
 
+@pytest.mark.slow
 def test_sharded_cycle_runs_and_stays_sharded():
     mesh = make_mesh(data=2, model=4)
     train_cfg = _small_train_cfg()
@@ -68,6 +71,7 @@ def test_sharded_cycle_runs_and_stays_sharded():
     assert not preds.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
@@ -77,6 +81,7 @@ def test_graft_entry_dryrun():
     assert out.shape == (8, 1)
 
 
+@pytest.mark.slow
 def test_dryrun_bootstrap_subprocess():
     """Mirror the driver verbatim: a fresh process with no XLA_FLAGS calls
     dryrun_multichip(8) directly; the function must provision its own
@@ -188,6 +193,7 @@ def _hlo_training_programs():
     return grid_txt, dp_txt, mesh
 
 
+@pytest.mark.slow
 def test_compiled_collective_structure():
     """Pin the collective structure of the two sharded training programs —
     the thing that determines multi-chip efficiency before an 8-chip machine
@@ -301,6 +307,7 @@ print(f"proc {pid} OK losses={losses.round(4).tolist()}")
 """
 
 
+@pytest.mark.slow
 def test_initialize_distributed_two_process_cpu():
     """The multi-host hook, end to end on one machine: two coordinated CPU
     processes (4 virtual devices each) initialize via
@@ -353,6 +360,7 @@ def _unsharded_reference_cycle(model, train_cfg, grid0, videos_m, labels_m, feat
     return grid_ref, losses_ref
 
 
+@pytest.mark.slow
 def test_sharded_matches_unsharded_early_fusion():
     """The flagship ImagesFeatures arm — early-fusion MiViT with dropout —
     trains identically (same permutations, dropout draws, AdamW math) on the
@@ -497,6 +505,7 @@ def test_sharded_bf16_matches_unsharded():
     )
 
 
+@pytest.mark.slow
 def test_fused_generation_program_born_sharded():
     """One compiled program: key → trajectories → frames → features → epoch.
     Data is generated inside the jit with per-model keys and never leaves the
@@ -596,6 +605,7 @@ def _mixed_experiment(n_grid=4, seed=0):
     return Experiment("mixed", train_cfg, BASELINE_OPTICS, arms, generate_fn, val_data)
 
 
+@pytest.mark.slow
 def test_experiment_mesh_fused_cycle_batch1():
     """The round-3 composition: ``use_mesh`` keeps the fused single-dispatch
     cycle. One fused+sharded cycle on the 2×4 mesh — mixed GridArm +
@@ -632,6 +642,7 @@ def test_experiment_mesh_fused_cycle_batch1():
         )
 
 
+@pytest.mark.slow
 def test_experiment_mesh_fused_precompile_warmer():
     """The speculative batch-regime precompile stays alive in mesh mode: a
     run crossing a doubling boundary spawns the warmer and both regimes
@@ -644,6 +655,7 @@ def test_experiment_mesh_fused_precompile_warmer():
     assert all(np.isfinite(h["val_avg"]).all() for h in hist.values())
 
 
+@pytest.mark.slow
 def test_experiment_mesh_stack_pairs_matches_unstacked():
     """Activation-pair stacking composes with ``use_mesh``: the baseline's 3
     relu/leaky pairs train as vmapped stacks INSIDE the mesh-fused cycle
@@ -685,6 +697,7 @@ def test_experiment_mesh_stack_pairs_matches_unstacked():
         )
 
 
+@pytest.mark.slow
 def test_experiment_use_mesh_baseline_and_grid():
     """Mesh-sharded Experiment engine: a ModelEntry experiment (pure DP,
     params replicated, batch sharded over all 8 devices) and a GridArm

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from moleculardiffusion_mivit_tpu.config import BASELINE_OPTICS, ModelConfig, TrainConfig
 from moleculardiffusion_mivit_tpu.evaluation import (
@@ -110,6 +111,7 @@ def test_grid_training_two_models():
     assert preds.shape == (m, videos.shape[0], 1)
 
 
+@pytest.mark.slow
 def test_multi_cycle_merged_scan_matches_per_model():
     """The fused multi-model cycle (ONE merged scan stepping every model,
     train.multi) must reproduce the per-model train_cycle update sequence
@@ -155,10 +157,8 @@ def test_multi_cycle_merged_scan_matches_per_model():
         assert np.isfinite(float(losses[name]))
 
 
-import pytest
-
-
 @pytest.mark.parametrize("stack_pairs", [False, True])
+@pytest.mark.slow
 def test_scanned_multi_cycle_matches_sequential_dispatches(stack_pairs):
     """K cycles fused into one dispatch (make_scanned_multi_cycle: lax.scan
     over per-cycle key/LR) must reproduce K sequential fused-cycle dispatches
@@ -250,6 +250,7 @@ def test_batch_size_schedule_doubles_and_caps():
     assert fixed.batch_size_for_cycle(140) == 8
 
 
+@pytest.mark.slow
 def test_multi_cycle_with_features_validation():
     """make_multi_cycle with feature-fusion models must evaluate validation
     with features (regression: the val path used to drop them, which raises
@@ -315,6 +316,7 @@ def test_scan_unroll_matches_plain_scan():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_scan_unroll_grid_matches_plain_scan():
     """The vmapped-grid epoch scan honors ``scan_unroll`` too (same
     reassociation-tolerance argument as the single-model test above)."""
@@ -382,6 +384,7 @@ def test_act_slope_matches_string_activation():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_cycle_stack_pairs_matches_unstacked():
     """``stack_pairs=True`` is an execution-layout change only: per-model
     losses and validation MSEs match the unstacked fused cycle, member
@@ -425,6 +428,7 @@ def test_multi_cycle_stack_pairs_matches_unstacked():
             np.testing.assert_allclose(np.asarray(a[j]), np.asarray(b), atol=20 * 1e-4)
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_dtype_trains_and_keeps_f32_master():
     """Mixed precision (TrainConfig.compute_dtype='bfloat16'): the forward/
     backward runs with bf16 params/activations but the master params and
@@ -494,6 +498,7 @@ def test_mix_tails_uniform_swaps_at_split():
     np.testing.assert_allclose(ml.sum(), np.asarray(labels).sum(), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_baseline_continuous_d_sequence_mode():
     """continuous_d baseline build: per-frame labels carry the drawn D in
     [lo, hi)/d_max, roughly half the sequences carry a planted transition,
