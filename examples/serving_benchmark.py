@@ -149,6 +149,70 @@ def _per_arm(out_path: str, batch: int, iters: int, repeats: int = 3):
     print(f"wrote {out_path}", file=sys.stderr)
 
 
+def _cold_start(batch: int):
+    """Serving cold start through the AOT cache: build the flagship model,
+    serve ONE batch, report every phase. On a warm cache the XLA compile —
+    the 77-930 s tunnel wildcard — is replaced by a ~seconds deserialize,
+    so a serving process reaches its first prediction in ~model-init time."""
+    from moleculardiffusion_mivit_tpu.config import ModelConfig
+    from moleculardiffusion_mivit_tpu.models import GeneralTransformer, init_model
+    from moleculardiffusion_mivit_tpu.utils import cached_compile
+
+    t_start = time.perf_counter()
+    cfg = ModelConfig()
+    model = GeneralTransformer(cfg, embedding="deep_resnet")
+    key = jax.random.key(0)
+    # params materialize on host CPU then ship — the shape of a real serving
+    # start (checkpoint restore is host-side too); initializing on the
+    # device costs a tunnel compile per init program (measured 60-100 s)
+    device = jax.devices()[0]
+    with jax.default_device(jax.devices("cpu")[0]):
+        params, batch_stats = init_model(
+            model,
+            jax.device_put(key, jax.devices("cpu")[0]),
+            jnp.zeros((1, 30, cfg.patch_size, cfg.patch_size), jnp.float32),
+        )
+    params = jax.device_put(params, device)
+    batch_stats = jax.device_put(batch_stats, device)
+    t_init = time.perf_counter()
+
+    def forward(params, batch_stats, videos):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, videos, train=False)
+
+    videos = jax.random.normal(
+        jax.random.fold_in(key, batch), (batch, 30, cfg.patch_size, cfg.patch_size)
+    )
+    compiled, info = cached_compile(
+        jax.jit(forward),
+        params,
+        batch_stats,
+        videos,
+        tag=f"serving-b{batch}",
+        log=lambda m: print(m, file=sys.stderr, flush=True),
+    )
+    t_ready = time.perf_counter()
+    out = compiled(params, batch_stats, videos)
+    jax.block_until_ready(out)
+    t_first = time.perf_counter()
+    print(
+        json.dumps(
+            {
+                "batch": batch,
+                "source": info["source"],
+                "model_init_s": round(t_init - t_start, 2),
+                "lower_s": info.get("lower_s"),
+                "compile_s": info.get("compile_s"),
+                "deserialize_s": info.get("load_s"),
+                "first_prediction_s": round(t_first - t_start, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[256, 1024, 4096])
@@ -175,9 +239,21 @@ def main(argv=None):
         "{arm: [mean_ms, std_ms]} per 10k sequences (feeds "
         "evaluation.plots.plot_accuracy_vs_cost)",
     )
+    ap.add_argument(
+        "--cold-start",
+        action="store_true",
+        help="measure serving cold start instead: wall time from process-"
+        "fresh model to the first prediction, through the AOT executable "
+        "cache (utils.aot_cache) — reports whether this run compiled (cache "
+        "MISS) or deserialized (HIT) and the phase timings. Run twice for "
+        "the MISS/HIT pair.",
+    )
     args = ap.parse_args(argv)
     if args.per_arm:
         _per_arm(args.per_arm, batch=args.batches[0], iters=args.iters)
+        return
+    if args.cold_start:
+        _cold_start(batch=args.batches[0])
         return
 
     from moleculardiffusion_mivit_tpu.config import ModelConfig
