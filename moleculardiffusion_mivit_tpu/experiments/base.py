@@ -186,6 +186,18 @@ class Experiment:
         # _start_precompile); donation-safe because the warmer owns its
         # throwaway states
         self.precompile_schedule = True
+        # serve/persist the fused cycle's per-batch-regime executables via
+        # the on-disk AOT cache (utils.aot_cache): a repeat run — or a
+        # schedule regime already seen by ANY prior run of this program —
+        # deserializes in ~3 s instead of recompiling (72-930 s through the
+        # axon tunnel, whose own compile cache does not persist). Unmeshed
+        # fused path only (mesh shardings stay on the jitted path); any
+        # cache failure falls back to jit permanently for the run. Default
+        # ON for accelerator backends only: the CPU backend has a working
+        # native persistent cache, and its AOT loader is machine-feature
+        # picky — opt in explicitly there (tests do).
+        self.aot_cache = jax.default_backend() != "cpu"
+        self._aot_exes: Dict[int, Any] = {}
         self._mesh = None
 
     def use_mesh(self, mesh) -> "Experiment":
@@ -550,6 +562,66 @@ class Experiment:
             self._fused_cycle = fused
         return self._fused_cycle
 
+    def _use_aot(self) -> bool:
+        return bool(self.aot_cache) and self._mesh is None and self.fused_cycles
+
+    def _aot_exe(self, batch_size: int, example_states, key):
+        """The fused cycle's AOT executable for one batch regime — served
+        from the on-disk cache (~3 s deserialize) or compiled once and
+        persisted. ``example_states`` provides lowering avals only (zeros
+        from the precompile warmer work as well as live states); call the
+        result with ``(states, k_gen, k_train, lr)`` — batch_size was baked
+        in at lowering, and states donate exactly as on the jitted path.
+
+        Deserialized executables are PROBED on throwaway zero states before
+        use: a blob can deserialize yet fail at dispatch (observed on the
+        CPU backend: "Function wrapped_subtract.1 not found"), and that
+        error would otherwise surface asynchronously mid-training. A failed
+        probe deletes the poisoned blob and compiles fresh (re-persisting),
+        so the cache self-heals; the probe costs one dummy-cycle execution
+        per regime per process."""
+        import os
+
+        import numpy as np
+
+        exe = self._aot_exes.get(batch_size)
+        if exe is not None:
+            return exe
+        from moleculardiffusion_mivit_tpu.utils.aot_cache import (
+            load_or_compile,
+            lower_and_check,
+        )
+
+        fused = self._fused_cycle_fn()
+        lr = jnp.float32(self.train_cfg.lr)
+        lowered, entry = lower_and_check(
+            fused,
+            example_states,
+            key,
+            key,
+            lr,
+            batch_size,
+            tag=f"exp-{self.name}-b{batch_size}",
+        )
+        exe = load_or_compile(lowered, entry)
+        if entry.get("source") == "cache":
+            try:
+                dummy = jax.tree.map(jnp.zeros_like, example_states)
+                probe = exe(dummy, key, key, lr)
+                # host-fetch: async dispatch errors only materialize here
+                np.asarray(jax.tree.leaves(probe)[0]).ravel()[:1]
+            except Exception:
+                try:
+                    if entry.get("path") and os.path.exists(entry["path"]):
+                        os.remove(entry["path"])
+                except OSError:
+                    pass
+                entry["hit"] = False
+                exe = load_or_compile(lowered, entry)
+        # benign race with the precompile thread: same key → same executable
+        self._aot_exes.setdefault(batch_size, exe)
+        return self._aot_exes[batch_size]
+
     # -- prediction (the make_prediction dispatch) -----------------------
     def _arm_of(self, model_name: str):
         for arm_name, arm in self.arms.items():
@@ -640,7 +712,23 @@ class Experiment:
             lr = jnp.float32(self.train_cfg.lr_for_cycle(cycle))
 
             if self.fused_cycles:
-                self.states = self._fused_cycle_fn()(self.states, k_gen, k_train, lr, bs)
+                if self._use_aot():
+                    try:
+                        exe = self._aot_exe(bs, self.states, k_gen)
+                    except Exception as e:  # caching must never break training
+                        import warnings
+
+                        warnings.warn(
+                            f"AOT cycle cache disabled for this run "
+                            f"({type(e).__name__}: {e}); falling back to jit"
+                        )
+                        self.aot_cache = False
+                if self._use_aot():
+                    self.states = exe(self.states, k_gen, k_train, lr)
+                else:
+                    self.states = self._fused_cycle_fn()(
+                        self.states, k_gen, k_train, lr, bs
+                    )
             else:
                 data = self.generate_fn(k_gen)
                 for j, (arm_name, arm) in enumerate(self.arms.items()):
@@ -696,8 +784,25 @@ class Experiment:
         lr = jnp.float32(self.train_cfg.lr)
 
         def warm():
-            states = dummy
             k = jax.random.key(0)
+            if self._use_aot():
+                # warm the AOT path instead: lower + (deserialize | compile
+                # and persist) each future regime's executable — no dummy
+                # execution needed, and cached regimes are ready in seconds
+                for bs in batch_sizes:
+                    try:
+                        self._aot_exe(bs, dummy, k)
+                    except Exception as e:
+                        import warnings
+
+                        warnings.warn(
+                            f"AOT precompile for batch regime {bs} failed "
+                            f"({type(e).__name__}: {e}); the main loop will "
+                            "fall back when it reaches that regime"
+                        )
+                        return
+                return
+            states = dummy
             for bs in batch_sizes:
                 try:
                     states = fused(states, k, k, lr, bs)

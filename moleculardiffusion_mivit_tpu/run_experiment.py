@@ -46,6 +46,14 @@ def main(argv=None):
         "70-value valTrajsInOrder asset (rounds 1-2 scoring)",
     )
     ap.add_argument(
+        "--no-aot-cache",
+        action="store_true",
+        help="disable the on-disk AOT executable cache for the fused cycle "
+        "(utils.aot_cache; default on for unmeshed runs — a repeat run or "
+        "an already-seen batch regime starts in ~3 s instead of recompiling "
+        "through the tunnel)",
+    )
+    ap.add_argument(
         "--plots",
         action="store_true",
         help="render the L8 figures (val-MSE curves, error bars/violins, "
@@ -159,6 +167,8 @@ def main(argv=None):
                 arm.train_cfg = arm.train_cfg.replace(compute_dtype=args.compute_dtype)
     if args.no_stack_pairs:
         exp.stack_pairs = False
+    if args.no_aot_cache:
+        exp.aot_cache = False
     if args.mesh:
         from moleculardiffusion_mivit_tpu.parallel import make_mesh
 

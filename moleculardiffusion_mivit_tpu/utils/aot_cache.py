@@ -80,7 +80,7 @@ def lower_and_check(
     }
     if _cache_enabled():
         key = _key_for(lowered)
-        cdir = cache_dir or DEFAULT_CACHE_DIR
+        cdir = cache_dir or os.environ.get("MIVIT_AOT_CACHE_DIR") or DEFAULT_CACHE_DIR
         entry["key"] = key
         entry["path"] = os.path.join(cdir, f"{tag}-{key}.aot")
         entry["hit"] = os.path.exists(entry["path"])

@@ -35,6 +35,53 @@ def test_baseline_experiment_smoke():
 
 
 @pytest.mark.slow
+def test_aot_cached_cycle_matches_jit(tmp_path, monkeypatch):
+    """Experiment.aot_cache (round 5): the fused cycle served from
+    serialized AOT executables must train identically to the jitted path,
+    and a fresh identical experiment must HIT the on-disk cache. (Default
+    on only for accelerator backends; enabled explicitly here on CPU.)"""
+    import os
+
+    monkeypatch.setenv("MIVIT_AOT_CACHE_DIR", str(tmp_path))
+
+    def build():
+        exp = get_experiment(
+            "baseline", sequences_per_d=8, val_length=6, try_leaky_relu=False
+        )
+        exp.precompile_schedule = False
+        return exp
+
+    exp_jit = build()
+    exp_jit.aot_cache = False
+    _, hist_jit = exp_jit.run(num_cycles=2)
+
+    exp_aot = build()
+    exp_aot.aot_cache = True
+    _, hist_aot = exp_aot.run(num_cycles=2)
+    assert exp_aot.aot_cache, "AOT path must not have fallen back to jit"
+    blobs = [f for f in os.listdir(tmp_path) if f.endswith(".aot")]
+    assert blobs, "fused-cycle executable was not persisted"
+    for name in hist_jit:
+        np.testing.assert_array_equal(
+            np.asarray(hist_jit[name]["val_avg"]),
+            np.asarray(hist_aot[name]["val_avg"]),
+            err_msg=name,
+        )
+
+    # third run, same program: served from disk (no new blob, same history)
+    exp_hit = build()
+    exp_hit.aot_cache = True
+    _, hist_hit = exp_hit.run(num_cycles=2)
+    assert sorted(os.listdir(tmp_path)) == sorted(blobs + [])
+    for name in hist_jit:
+        np.testing.assert_array_equal(
+            np.asarray(hist_jit[name]["val_avg"]),
+            np.asarray(hist_hit[name]["val_avg"]),
+            err_msg=name,
+        )
+
+
+@pytest.mark.slow
 def test_baseline_sequence_mode_smoke():
     exp = get_experiment(
         "baseline", sequences_per_d=8, val_length=12, sequences=True, try_leaky_relu=False
