@@ -134,6 +134,71 @@ def _data_parallel_fns(train_cycle_impl, eval_impl, mesh):
     return train_cycle, evaluate
 
 
+class _AotEval:
+    """Evaluation callable serving per-input-shape executables from the
+    on-disk AOT cache (unmeshed runs; see ``Experiment.aot_cache``) —
+    closing the remaining repeat-run compile cost after the fused cycle
+    (measured: the 60-model grid's per-cycle chunked evaluations).
+
+    Behaves exactly like the ``jax.jit(evaluate)`` it wraps; falls back to
+    the jitted path on any cache trouble. Eval inputs are NOT donated, so a
+    deserialized executable is validated by its first real call: a dispatch
+    failure (poisoned blob — see ``Experiment._aot_exe``) is caught, the
+    blob dropped, and the same call retried on a fresh compile."""
+
+    def __init__(self, exp, arm_name: str, jitted):
+        self._exp = exp
+        self._tag = f"exp-{exp.name}-eval-{arm_name}"
+        self._jitted = jitted
+        self._exes: Dict[Any, Any] = {}
+
+    def __call__(self, *args):
+        if not self._exp._use_aot():
+            return self._jitted(*args)
+        key = (
+            str(jax.tree.structure(args)),
+            tuple(
+                (tuple(l.shape), str(l.dtype))
+                for l in jax.tree.leaves(args)
+                if hasattr(l, "shape")
+            ),
+        )
+        exe = self._exes.get(key)
+        if exe is not None:
+            return exe(*args)
+        from moleculardiffusion_mivit_tpu.utils.aot_cache import (
+            load_or_compile,
+            lower_and_check,
+        )
+
+        try:
+            lowered, entry = lower_and_check(self._jitted, *args, tag=self._tag)
+            exe = load_or_compile(lowered, entry)
+            out = exe(*args)
+            if entry.get("source") == "cache":
+                # force: async dispatch errors only materialize on fetch
+                import numpy as np
+
+                np.asarray(jnp.ravel(jax.tree.leaves(out)[0])[:1])
+        except Exception:
+            try:
+                if "entry" in locals() and entry.get("path"):
+                    import os
+
+                    if os.path.exists(entry["path"]):
+                        os.remove(entry["path"])
+                    entry["hit"] = False
+                    exe = load_or_compile(lowered, entry)
+                    out = exe(*args)
+                else:
+                    raise
+            except Exception:  # anything else: permanent jitted fallback
+                self._exes[key] = self._jitted
+                return self._jitted(*args)
+        self._exes[key] = exe
+        return out
+
+
 class Experiment:
     def __init__(
         self,
@@ -279,7 +344,7 @@ class Experiment:
                             static_argnames=("batch_size",),
                             donate_argnums=(0,),
                         ),
-                        jax.jit(evaluate),
+                        _AotEval(self, arm_name, jax.jit(evaluate)),
                     )
                 self.states[arm_name] = init_grid(
                     k,
@@ -319,7 +384,7 @@ class Experiment:
                             static_argnames=("batch_size",),
                             donate_argnums=(0,),
                         ),
-                        jax.jit(evaluate),
+                        _AotEval(self, arm_name, jax.jit(evaluate)),
                     )
                 self.states[arm_name] = init_state(
                     k, videos[:1], feats[:1] if arm.with_features else None
