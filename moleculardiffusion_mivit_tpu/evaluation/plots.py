@@ -262,6 +262,91 @@ def plot_accuracy_vs_cost(
     return out_png
 
 
+# Fixed arm order and colorblind-safe hues (Okabe-Ito blue/orange/green)
+# for the changepoint study figures: identity follows the arm, never its
+# rank, so filtered/partial reports keep stable colors.
+_CHANGEPOINT_ARMS = [
+    ("mod_images", "image-only", "#0072B2"),
+    ("mod_both_concat", "+ per-frame tokens", "#E69F00"),
+    ("mod_hybrid", "hybrid (+ global token)", "#009E73"),
+]
+
+
+def plot_changepoint_detection(report: Dict, out_png: str) -> str:
+    """Detection rate vs planted ΔD contrast with 95% Wilson CIs, per arm —
+    the round-5 changepoint study's headline figure
+    (examples/sequence_changepoint_modular.py report format). The dashed
+    line marks the arms' realized false-positive floor: a detection rate is
+    only meaningful above it."""
+    plt.figure(figsize=(7.5, 4.5))
+    fp_rates = []
+    plotted = False
+    for arm, label, color in _CHANGEPOINT_ARMS:
+        r = report.get(arm)
+        if not isinstance(r, dict) or "by_contrast" not in r:
+            continue
+        cells = {
+            int(k.split("=")[1]): v
+            for k, v in r["by_contrast"].items()
+            if v.get("detection_rate") is not None and v.get("n", 0) > 0
+        }
+        if not cells:
+            continue
+        dds = sorted(cells)
+        y = np.array([cells[d]["detection_rate"] for d in dds], float)
+        lo = np.array(
+            [cells[d].get("ci95", [c, c])[0] for d, c in zip(dds, y)], float
+        )
+        hi = np.array(
+            [cells[d].get("ci95", [c, c])[1] for d, c in zip(dds, y)], float
+        )
+        auc = r.get("roc_auc")
+        plt.errorbar(
+            dds,
+            y,
+            yerr=[y - lo, hi - y],
+            marker="o",
+            markersize=5,
+            linewidth=2,
+            capsize=3,
+            color=color,
+            label=f"{label} (AUC {auc:.3f})" if auc is not None else label,
+        )
+        if r.get("false_positive_rate") is not None:
+            fp_rates.append(r["false_positive_rate"])
+        plotted = True
+    if not plotted:
+        raise ValueError("plot_changepoint_detection: no arm data in report")
+    if fp_rates:
+        plt.axhline(
+            float(np.mean(fp_rates)), color="0.45", linestyle="--", linewidth=1
+        )
+        plt.text(
+            plt.xlim()[0] + 0.05,
+            float(np.mean(fp_rates)) + 0.015,
+            "FP floor",
+            ha="left",
+            fontsize=8,
+            color="0.35",
+        )
+    n_note = report.get("n_mixed")
+    seed = report.get("seed")
+    plt.xlabel("Planted D contrast (ΔD, rounded)")
+    plt.ylabel("Detection rate @ ~5% FP (95% Wilson CI)")
+    plt.title(
+        "Change-point detection vs contrast"
+        + (f" — {n_note} planted transitions" if n_note else "")
+        + (f", seed {seed}" if seed is not None else "")
+    )
+    plt.ylim(-0.02, 1.05)
+    plt.grid(alpha=0.25, linewidth=0.5)
+    plt.legend(fontsize=9, loc="lower right")
+    plt.tight_layout()
+    plt.savefig(out_png, dpi=130)
+    plt.close()
+    return out_png
+
+
 def _load_error_csv(path: str) -> Dict[str, Dict[str, float]]:
     out = {}
     with open(path) as f:
@@ -334,6 +419,17 @@ def render_all(result_dir: str, out_dir: Optional[str] = None) -> Dict[str, str]
             made["accuracy_vs_cost"] = plot_accuracy_vs_cost(
                 times, best, os.path.join(out_dir, "accuracy_vs_cost.png")
             )
+
+    cp_path = os.path.join(result_dir, "changepoint_modular.json")
+    if os.path.exists(cp_path):
+        with open(cp_path) as f:
+            cp_report = json.load(f)
+        try:
+            made["changepoint_detection"] = plot_changepoint_detection(
+                cp_report, os.path.join(out_dir, "detection_vs_contrast.png")
+            )
+        except ValueError:
+            pass  # report predates the CI format
 
     preds_path = os.path.join(result_dir, "in_order_predictions.npz")
     if os.path.exists(preds_path):

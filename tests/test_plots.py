@@ -47,6 +47,42 @@ def test_render_all_from_artifacts(tmp_path):
         assert os.path.exists(path) and os.path.getsize(path) > 0
 
 
+def test_changepoint_detection_plot(tmp_path):
+    """The round-5 changepoint figure renders from the study's committed
+    JSON (CI format) via render_all, tolerates a missing arm, and rejects
+    an armless report."""
+    import pytest
+
+    def arm(auc, rates):
+        return {
+            "roc_auc": auc,
+            "false_positive_rate": 0.05,
+            "by_contrast": {
+                f"dD={d}": {
+                    "n": 30,
+                    "detection_rate": r,
+                    "ci95": [max(0.0, r - 0.1), min(1.0, r + 0.1)],
+                }
+                for d, r in rates.items()
+            },
+        }
+
+    report = {
+        "n_mixed": 60,
+        "seed": 0,
+        "mod_images": arm(0.85, {1: 0.1, 2: 0.2, 4: 0.5}),
+        "mod_both_concat": arm(0.94, {1: 0.3, 2: 0.7, 4: 0.95}),
+        # mod_hybrid absent: partial reports must still render
+    }
+    (tmp_path / "changepoint_modular.json").write_text(json.dumps(report))
+    made = plots.render_all(str(tmp_path))
+    assert "changepoint_detection" in made
+    assert os.path.getsize(made["changepoint_detection"]) > 0
+
+    with pytest.raises(ValueError):
+        plots.plot_changepoint_detection({"cycles": 1}, str(tmp_path / "x.png"))
+
+
 def test_accuracy_vs_cost_requires_overlap(tmp_path):
     import pytest
 
